@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark: fused SemiVL train-step throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "semivl_train_imgs_per_sec_per_chip", "value": N,
+   "unit": "imgs/sec/chip", "vs_baseline": N}
+
+"imgs" counts labeled + unlabeled training images consumed per iteration
+(2 * batch_size), the reference's effective throughput unit. The reference
+publishes no throughput numbers (BASELINE.md), so vs_baseline is reported
+against a fixed reference-measurement placeholder of 1.0 until a PyTorch
+denominator is measured.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch-size', type=int, default=2,
+                        help='per-chip batch (VOC reference: 2)')
+    parser.add_argument('--crop', type=int, default=512)
+    parser.add_argument('--steps', type=int, default=10)
+    parser.add_argument('--warmup', type=int, default=3)
+    parser.add_argument('--dtype', default='bfloat16')
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from __graft_entry__ import _flagship_cfg
+    from semivl_tpu.models.builder import build_model
+    from semivl_tpu.train.optim import build_optimizer
+    from semivl_tpu.train.step import (
+        TrainState,
+        make_semivl_train_step,
+        replicate,
+        shard_batch,
+    )
+
+    crop = args.crop
+    cfg = _flagship_cfg(crop_size=crop)
+    cfg['batch_size'] = args.batch_size
+    bundle = build_model(cfg, dtype=jnp.dtype(args.dtype))
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), ('data',))
+    n_chips = len(devices)
+    b = args.batch_size * n_chips
+
+    text = jnp.asarray(bundle.text_feats)
+    mcc = jnp.asarray(bundle.mcc_text_feats)
+    variables = bundle.module.init(
+        {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
+        jnp.zeros((1, crop, crop, 3)), text, mcc, method='init_variables')
+    tx, _, mask = build_optimizer(
+        cfg, variables['params'], total_iters=10000,
+        freeze_backbone=bundle.freeze_backbone,
+        exclude_keys=bundle.exclude_keys)
+    state = replicate(TrainState(
+        params=variables, opt_state=tx.init(variables['params']),
+        step=jnp.zeros((), jnp.int32)), mesh)
+    step_fn = make_semivl_train_step(bundle, cfg, tx, mesh,
+                                     total_iters=10000, trainable_mask=mask)
+
+    rs = np.random.RandomState(0)
+
+    def imgs():
+        return rs.randn(b, crop, crop, 3).astype(np.float32)
+
+    boxes = np.zeros((b, crop, crop), np.float32)
+    boxes[:, 100:300, 50:400] = 1
+    ign = np.zeros((b, crop, crop), np.int32)
+    batch = shard_batch(dict(
+        img_x=imgs(),
+        mask_x=rs.randint(0, 21, (b, crop, crop)).astype(np.int32),
+        img_w=imgs(), img_s1=imgs(), img_s2=imgs(), ignore_mask=ign,
+        cutmix_box1=boxes, cutmix_box2=boxes,
+        img_w_other=imgs(), img_s1_other=imgs(), img_s2_other=imgs(),
+        ignore_mask_other=ign), mesh)
+    key = replicate(jax.random.PRNGKey(0), mesh)
+
+    for _ in range(args.warmup):
+        state, metrics = step_fn(state, batch, key)
+    jax.block_until_ready(metrics['loss_all'])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch, key)
+    jax.block_until_ready(metrics['loss_all'])
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = args.steps / dt
+    imgs_per_sec_per_chip = iters_per_sec * 2 * args.batch_size
+    print(json.dumps({
+        'metric': 'semivl_train_imgs_per_sec_per_chip',
+        'value': round(imgs_per_sec_per_chip, 3),
+        'unit': 'imgs/sec/chip',
+        'vs_baseline': round(imgs_per_sec_per_chip / 1.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -196,7 +196,44 @@ def _mcvit16(img_size=512):
     )
 
 
+def _tiny_vlm_test(img_size=64):
+    """Miniature VLM for smoke tests / CLI drives: same structure as the
+    flagship (incl. 512-d CLIP space so real text embeddings work), tiny
+    dims. Not a reference model."""
+    backbone = dict(
+        type='MaskClipVisionTransformer',
+        img_size=(img_size, img_size), patch_size=16, patch_bias=False,
+        embed_dims=64, num_layers=2, num_heads=4, mlp_ratio=2, clip_dim=512,
+        out_indices=[0, 1, 2], pre_norm=True, final_norm=True,
+        return_clip_embed=True, return_qkv=True)
+    return dict(
+        img_size=img_size,
+        model=dict(
+            type='VLM',
+            backbone=backbone,
+            decode_head=dict(
+                type='VLGHead', img_size=img_size, num_classes=21,
+                text_in_channels=512, text_channels=32, up_channels=(32, 16),
+                skip_in_channels=(64, 64), skip_channels=(16, 16),
+                skip_from_conv_feat=False, num_layers=1, num_heads=2,
+                channels=32, pool_size=(2, 2), conv1_ksize=3,
+                align_corners=False),
+            freeze_backbone=True,
+            exclude_keys=['attn', 'pos_embed'],
+        ),
+    )
+
+
 _MODEL_CONFIGS = {
+    'tiny-vlm-test': _tiny_vlm_test,
+    'tiny-mcvit-test': lambda img_size=64: dict(
+        img_size=img_size,
+        backbone=dict(
+            type='MaskClipVisionTransformer',
+            img_size=(img_size, img_size), patch_size=16, patch_bias=False,
+            embed_dims=64, num_layers=2, num_heads=4, mlp_ratio=2,
+            clip_dim=512, out_indices=None, pre_norm=True, final_norm=True,
+            return_clip_embed=True, return_qkv=True)),
     'vlm-vlg-aspp-s2p4-sk04-ftap-mcvitb': _vlm_vlg_sk04,
     'vlm-vlg-aspp-s2p4-skr04-ftap-mcvitb': _vlm_vlg_skr04,
     'vlm-dlv3p-bn12-sk4-ftap-mcvitb':

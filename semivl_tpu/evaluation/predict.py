@@ -1,0 +1,205 @@
+"""Sliding-window inference + evaluation.
+
+Replicates the reference's five eval modes (third_party/unimatch/
+supervised.py:40-132) with a TPU-friendly execution strategy:
+
+- crops of an image are **batched** and run through one fixed-shape jitted
+  forward (bucketed batch sizes), instead of one model call per window;
+- canvas accumulation / division / final resize / argmax happen on host in
+  numpy (variable image sizes would otherwise retrigger compilation);
+- distinct crop shapes (edge windows of 'sliding_window' mode) get their own
+  cached jit specialisation — a handful per dataset.
+
+The final bilinear resize to label size uses align_corners=True, matching
+mmseg.ops.resize in the reference (supervised.py:95-100).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semivl_tpu.evaluation.metrics import intersection_and_union
+from semivl_tpu.ops.resize import _axis_weights
+
+
+def _np_resize_bilinear(x, out_hw, align_corners):
+    """Host-side exact-parity bilinear resize of (B, C, H, W) numpy array."""
+    wh = np.asarray(_axis_weights(out_hw[0], x.shape[2], 'bilinear',
+                                  align_corners, 'float32'))
+    ww = np.asarray(_axis_weights(out_hw[1], x.shape[3], 'bilinear',
+                                  align_corners, 'float32'))
+    y = np.einsum('hH,bcHW->bchW', wh, x)
+    return np.einsum('wW,bchW->bchw', ww, y)
+
+
+def _bucket(n, buckets=(1, 2, 4, 8, 16, 32)):
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(math.ceil(n / buckets[-1])) * buckets[-1]
+
+
+class Evaluator:
+    """Holds the jitted forward(s) and implements the predict modes."""
+
+    def __init__(self, module, params, text_feats, cfg):
+        self.module = module
+        self.params = params
+        self.text = jnp.asarray(text_feats)
+        self.cfg = cfg
+        self.nclass = cfg['nclass']
+        self._jit_cache = {}
+
+    def update_params(self, params):
+        self.params = params
+
+    def _forward(self, imgs):
+        """Run the model on a (n, h, w, 3) numpy crop batch -> (n, C, h, w)."""
+        shape = imgs.shape
+        n = _bucket(shape[0])
+        if n != shape[0]:
+            pad = np.zeros((n - shape[0],) + shape[1:], imgs.dtype)
+            batch = np.concatenate([imgs, pad])
+        else:
+            batch = imgs
+        key = (n,) + shape[1:]
+        if key not in self._jit_cache:
+            def fwd(params, x, text):
+                return self.module.apply(params, x, text)
+            self._jit_cache[key] = jax.jit(fwd)
+        logits = self._jit_cache[key](self.params, jnp.asarray(batch),
+                                      self.text)
+        return np.asarray(logits[:shape[0]], np.float32)
+
+    # ---- predict modes (reference supervised.py:40-132) ----
+
+    def predict(self, img, mask_shape, mode):
+        """img: (1, H, W, 3) numpy. Returns (1, h_mask, w_mask) int preds."""
+        if mode == 'zegclip_sliding_window':
+            return self._zegclip_sliding(img, mask_shape)
+        if mode == 'sliding_window':
+            return self._sliding(img, mask_shape)
+        if mode == 'padded_sliding_window':
+            return self._padded_sliding(img, mask_shape)
+        if mode in ('original', 'center_crop'):
+            if mode == 'center_crop':
+                size = self.cfg['crop_size']
+                h, w = img.shape[1:3]
+                sh, sw = (h - size) // 2, (w - size) // 2
+                img = img[:, sh:sh + size, sw:sw + size]
+            logits = self._forward(img)
+            return logits.argmax(axis=1)
+        raise ValueError(mode)
+
+    def _zegclip_sliding(self, img, mask_shape):
+        """Edge-aligned grid, logits averaged by visit count, resized to the
+        label size with align_corners=True (supervised.py:69-102)."""
+        crop = self.cfg['crop_size']
+        stride = self.cfg['stride']
+        _, h_img, w_img, _ = img.shape
+        h_grids = max(h_img - crop + stride - 1, 0) // stride + 1
+        w_grids = max(w_img - crop + stride - 1, 0) // stride + 1
+        coords = []
+        for hi in range(h_grids):
+            for wi in range(w_grids):
+                y1 = min(hi * stride + crop, h_img) - crop
+                x1 = min(wi * stride + crop, w_img) - crop
+                coords.append((max(y1, 0), max(x1, 0)))
+        crops = np.concatenate([img[:, y:y + crop, x:x + crop]
+                                for y, x in coords])
+        logits = self._forward(crops)  # (n, C, crop, crop)
+        preds = np.zeros((1, self.nclass, h_img, w_img), np.float32)
+        count = np.zeros((1, 1, h_img, w_img), np.float32)
+        for i, (y, x) in enumerate(coords):
+            preds[0, :, y:y + crop, x:x + crop] += logits[i]
+            count[0, :, y:y + crop, x:x + crop] += 1
+        assert (count == 0).sum() == 0
+        preds /= count
+        final = _np_resize_bilinear(preds, mask_shape, align_corners=True)
+        return final.argmax(axis=1)
+
+    def _sliding(self, img, mask_shape):
+        """Cityscapes-style: stride 2/3 crop, softmax summed, variable edge
+        crops fed at their natural size (supervised.py:104-117)."""
+        grid = self.cfg['crop_size']
+        _, h, w, _ = img.shape
+        final = np.zeros((1, self.nclass, h, w), np.float32)
+        stride = int(grid * 2 / 3)
+        # group same-shaped crops to share jit specialisations
+        shapes = {}
+        row = 0
+        while row < h:
+            col = 0
+            while col < w:
+                y2, x2 = min(h, row + grid), min(w, col + grid)
+                sh = (y2 - row, x2 - col)
+                shapes.setdefault(sh, []).append((row, col, y2, x2))
+                col += stride
+            row += stride
+        for sh, boxes in shapes.items():
+            crops = np.concatenate(
+                [img[:, y1:y2, x1:x2] for (y1, x1, y2, x2) in boxes])
+            logits = self._forward(crops)
+            probs = jax.nn.softmax(jnp.asarray(logits), axis=1)
+            probs = np.asarray(probs)
+            for i, (y1, x1, y2, x2) in enumerate(boxes):
+                final[0, :, y1:y2, x1:x2] += probs[i]
+        assert final.shape[-2:] == tuple(mask_shape)
+        return final.argmax(axis=1)
+
+    def _padded_sliding(self, img, mask_shape):
+        """Zero-padded fixed-size crops (supervised.py:41-67)."""
+        grid = self.cfg['crop_size']
+        stride = self.cfg['stride']
+        if stride < 1:
+            stride = int(grid * stride)
+        _, h, w, _ = img.shape
+        final = np.zeros((1, self.nclass, h, w), np.float32)
+        boxes = []
+        row = 0
+        while row < h:
+            col = 0
+            while col < w:
+                boxes.append((row, col, min(h, row + grid),
+                              min(w, col + grid)))
+                col += stride
+            row += stride
+        crops = np.zeros((len(boxes), grid, grid, 3), img.dtype)
+        for i, (y1, x1, y2, x2) in enumerate(boxes):
+            crops[i, :y2 - y1, :x2 - x1] = img[0, y1:y2, x1:x2]
+        logits = self._forward(crops)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+        for i, (y1, x1, y2, x2) in enumerate(boxes):
+            final[0, :, y1:y2, x1:x2] += probs[i, :, :y2 - y1, :x2 - x1]
+        assert final.shape[-2:] == tuple(mask_shape)
+        return final.argmax(axis=1)
+
+
+def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None):
+    """Full-dataset evaluation -> (mIoU, per-class IoU).
+
+    Parity: reference supervised.py:135-164 (per-image predict +
+    histogram accumulation). ``indices`` restricts to a subset (sharded eval
+    or smoke tests).
+    """
+    assert mode in ('original', 'center_crop', 'padded_sliding_window',
+                    'zegclip_sliding_window', 'sliding_window')
+    inter_sum = np.zeros(cfg['nclass'], np.float64)
+    union_sum = np.zeros(cfg['nclass'], np.float64)
+    idxs = range(len(dataset)) if indices is None else indices
+    for i in idxs:
+        sample = dataset.get(i)
+        img = sample['img'][None]
+        mask = sample['mask']
+        pred = evaluator.predict(img, mask.shape, mode)
+        inter, union, _ = intersection_and_union(pred[0], mask,
+                                                 cfg['nclass'])
+        inter_sum += inter
+        union_sum += union
+        if progress is not None:
+            progress(i)
+    iou_class = inter_sum / (union_sum + 1e-10) * 100.0
+    return float(np.mean(iou_class)), iou_class

@@ -1,0 +1,64 @@
+"""Cross-entropy losses.
+
+Parity with ``torch.nn.CrossEntropyLoss(ignore_index=255)`` (reference
+semivl.py:142-164) and the OHEM variant
+(third_party/unimatch/util/ohem.py:8-57). Logits are (B, C, H, W) float;
+labels (B, H, W) int with 255 = ignore. All reductions in float32.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_pixel_ce(logits, labels, ignore_index=255):
+    """Per-pixel CE map (0 at ignored pixels) and the valid mask."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=1)
+    picked = jnp.take_along_axis(
+        logits, safe_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    ce = jnp.where(valid, logz - picked, 0.0)
+    return ce, valid
+
+
+def cross_entropy(logits, labels, ignore_index=255, reduction='mean'):
+    """reduction: 'mean' (over valid pixels, torch parity) | 'none' | 'sum'."""
+    ce, valid = _per_pixel_ce(logits, labels, ignore_index)
+    if reduction == 'none':
+        return ce
+    if reduction == 'sum':
+        return jnp.sum(ce)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def ohem_cross_entropy(logits, labels, ignore_index=255, thresh=0.7,
+                       min_kept=200000):
+    """Prob-threshold online hard example mining CE (reference ohem.py:8-57).
+
+    Keeps pixels whose predicted prob of the true class is below a threshold;
+    the threshold is raised so at least ``min_kept`` pixels survive.
+    Static-shape implementation: instead of indexing/sorting a dynamic set,
+    compute the min_kept-th smallest true-class prob via a sorted gather and
+    mask — identical selection, XLA-friendly.
+    """
+    logits32 = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    probs = jax.nn.softmax(logits32, axis=1)
+    true_prob = jnp.take_along_axis(
+        probs, safe_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # invalid pixels get prob 1.0 so they sort to the easy end
+    true_prob = jnp.where(valid, true_prob, 1.0)
+
+    flat = true_prob.reshape(-1)
+    num_valid = jnp.sum(valid)
+    kept = jnp.minimum(min_kept, flat.shape[0]) - 1
+    kth = jnp.sort(flat)[jnp.maximum(kept, 0)]
+    threshold = jnp.maximum(kth, thresh)
+    keep = valid & (true_prob <= threshold)
+
+    ce, _ = _per_pixel_ce(logits, labels, ignore_index)
+    ce = jnp.where(keep, ce, 0.0)
+    denom = jnp.maximum(jnp.sum(keep), 1)
+    return jnp.where(num_valid > 0, jnp.sum(ce) / denom, 0.0)

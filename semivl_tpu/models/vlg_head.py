@@ -1,0 +1,273 @@
+"""Vision-Language-Guided (VLG) decoder head (Flax).
+
+The SemiVL core novelty (reference model/decode_heads/vlg_head.py:140-251):
+
+1. similarity map between the L2-normalised dense CLIP embedding and the
+   class/concept text embeddings,
+2. spatial reasoning: 7x7 conv + residual GroupNorm-ASPP over each class
+   plane (batch folded to B*N),
+3. semantic reasoning: transformer layers attending across the *class axis*
+   at every 4x4-pooled spatial location, with a projected text token
+   concatenated per class,
+4. two transposed-conv upsampling stages with encoder skip features repeated
+   over the N class planes,
+5. per-plane 1-channel head -> (B, N, h, w), optional concept->class max
+   aggregation, bilinear resize to image size.
+
+Layout is NHWC; the class-plane folding keeps contractions MXU-shaped.
+"""
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from semivl_tpu.models.layers import TransformerBlock, l2_normalize
+from semivl_tpu.ops.resize import resize
+from semivl_tpu.text.embeddings import (
+    aggregate_concept_predictions,
+    get_class_to_concept_idxs,
+)
+
+Dtype = Any
+
+
+class ConvGNReLU(nn.Module):
+    """Conv -> GroupNorm(ch//16) -> ReLU (reference vlg_head.py:94-99).
+
+    torch GroupNorm eps=1e-5.
+    """
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2 * self.dilation
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding=((pad, pad), (pad, pad)), use_bias=self.use_bias,
+                    name='conv', dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.GroupNorm(num_groups=self.features // 16, epsilon=1e-5,
+                         name='gn', dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class ASPPPooling(nn.Module):
+    """Image pooling branch (reference vlg_head.py:70-81)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1:3]
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = ConvGNReLU(self.features, kernel=1, dtype=self.dtype,
+                            name='proj')(pooled)
+        # bilinear align_corners=True upsample of a 1x1 map == broadcast
+        return jnp.broadcast_to(pooled, (x.shape[0], h, w, self.features))
+
+
+class ASPPModule(nn.Module):
+    """Residual GroupNorm ASPP (reference vlg_head.py:84-113)."""
+    atrous_rates: Sequence[int] = (1, 6, 12, 18)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        feats = []
+        for i, rate in enumerate(self.atrous_rates):
+            ksize = 1 if rate == 1 else 3
+            feats.append(ConvGNReLU(c, kernel=ksize, dilation=rate,
+                                    dtype=self.dtype, name=f'branch_{i}')(x))
+        feats.append(ASPPPooling(c, dtype=self.dtype, name='pool')(x))
+        y = jnp.concatenate(feats, axis=-1)
+        y = ConvGNReLU(c, kernel=1, dtype=self.dtype, name='project')(y)
+        return x + y
+
+
+def conv_transpose_2x2(x, kernel, bias):
+    """Exact torch ConvTranspose2d(k=2, s=2) as an einsum + reshape.
+
+    ``kernel``: (2, 2, in, out). Non-overlapping stride means each input
+    pixel expands into an independent 2x2 block — a pure matmul, ideal for
+    the MXU (no scatter).
+    """
+    b, h, w, _ = x.shape
+    out = jnp.einsum('bhwc,ijco->bhiwjo', x, kernel.astype(x.dtype))
+    out = out.reshape(b, h * 2, w * 2, kernel.shape[-1])
+    return out + bias.astype(x.dtype)
+
+
+class Up(nn.Module):
+    """Transposed-conv 2x upsample + skip concat + double conv
+    (reference vlg_head.py:116-137)."""
+    out_channels: int
+    skip_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        c = x.shape[-1]
+        up_c = c - self.skip_channels
+        kernel = self.param('up_kernel', nn.initializers.lecun_normal(),
+                            (2, 2, c, up_c), jnp.float32)
+        bias = self.param('up_bias', nn.initializers.zeros, (up_c,),
+                          jnp.float32)
+        x = conv_transpose_2x2(x, kernel, bias)
+        if skip is not None:
+            n_rep = x.shape[0] // skip.shape[0]
+            skip = resize(skip, x.shape[1:3], mode='bilinear',
+                          align_corners=True)
+            skip = jnp.repeat(skip, n_rep, axis=0)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = ConvGNReLU(self.out_channels, kernel=3, dtype=self.dtype,
+                       name='conv1')(x)
+        x = ConvGNReLU(self.out_channels, kernel=3, dtype=self.dtype,
+                       name='conv2')(x)
+        return x
+
+
+class SemanticTransformer(nn.Module):
+    """Attention across the class axis at pooled spatial locations
+    (reference vlg_head.py:27-67)."""
+    channels: int
+    text_channels: int
+    num_heads: int
+    pool_size: Tuple[int, int] = (4, 4)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text_tokens):
+        # x: (B, N, H, W, C) class-plane features; text_tokens: (B, N, Ct).
+        b, n, h, w, c = x.shape
+        ph, pw = self.pool_size
+        x_pool = nn.avg_pool(x.reshape(b * n, h, w, c), (ph, pw),
+                             strides=(ph, pw))
+        hp, wp = x_pool.shape[1:3]
+        # (B*hp*wp, N, C): sequence over classes at each pooled location.
+        tokens = (x_pool.reshape(b, n, hp, wp, c)
+                  .transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, n, c))
+        if text_tokens is not None:
+            text = jnp.broadcast_to(
+                text_tokens[:, None, None],
+                (b, hp, wp, n, self.text_channels)).reshape(
+                    b * hp * wp, n, self.text_channels)
+            tokens = jnp.concatenate([tokens, text.astype(tokens.dtype)],
+                                     axis=-1)
+        # mmcv TransformerEncoderLayer with feedforward_channels=4*channels
+        # (reference vlg_head.py:34-37)
+        tokens, _ = TransformerBlock(
+            num_heads=self.num_heads, mlp_hidden=4 * self.channels,
+            norm_eps=1e-6, dtype=self.dtype, name='transformer')(tokens)
+        tokens = tokens[..., :c]
+        # unpool: bilinear align_corners=True back to (h, w), residual add.
+        y = (tokens.reshape(b, hp, wp, n, c).transpose(0, 3, 1, 2, 4)
+             .reshape(b * n, hp, wp, c))
+        y = resize(y, (h, w), mode='bilinear', align_corners=True)
+        return x + y.reshape(b, n, h, w, c)
+
+
+class VLGHead(nn.Module):
+    img_size: int
+    num_classes: int
+    text_in_channels: int = 512
+    text_channels: int = 128
+    up_channels: Tuple[int, int] = (64, 32)
+    skip_in_channels: Tuple[int, ...] = (768, 768)
+    skip_channels: Tuple[int, ...] = (32, 16)
+    skip_from_conv_feat: bool = False
+    num_layers: int = 2
+    num_heads: int = 4
+    channels: int = 128
+    pool_size: Tuple[int, int] = (4, 4)
+    conv1_ksize: int = 7
+    align_corners: bool = False
+    text_embedding_name: str = ''  # for concept aggregation lookup
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, text_feats, conv_feats=None, output_size=None):
+        """feats: tuple of NHWC maps (pyramid..., dense CLIP embed last);
+        text_feats: (N, Ct) or (B, N, Ct); conv_feats: list of NHWC maps.
+
+        Returns (B, num_classes, out_h, out_w) logits (NCHW layout to match
+        loss/eval code expecting class-first maps).
+        """
+        img_feats = feats[-1]
+        if self.skip_from_conv_feat:
+            assert conv_feats is not None
+            skip_feats = list(feats[:-1])[::-1] + list(conv_feats)[::-1]
+        else:
+            skip_feats = list(feats[:-1])[::-1]
+        assert len(skip_feats) == len(self.skip_in_channels)
+
+        b, h, w, c = img_feats.shape
+        if text_feats.ndim == 2:
+            text_feats = jnp.broadcast_to(
+                text_feats[None], (b,) + text_feats.shape)
+        n = text_feats.shape[1]
+        text_feats = text_feats.astype(self.dtype)
+
+        # 1. similarity map (reference vlg_head.py:214-217)
+        img_n = l2_normalize(img_feats, axis=-1)
+        text_n = l2_normalize(text_feats, axis=-1)
+        x = jnp.einsum('bhwc,bnc->bnhw', img_n, text_n)
+
+        # 2. spatial reasoning on (B*N, h, w, 1) planes (218-223)
+        x = x.reshape(b * n, h, w, 1)
+        pad = (self.conv1_ksize - 1) // 2
+        x = nn.Conv(self.channels, (self.conv1_ksize, self.conv1_ksize),
+                    padding=((pad, pad), (pad, pad)), name='conv1',
+                    dtype=self.dtype, param_dtype=jnp.float32)(
+                        x.astype(self.dtype))
+        x = ASPPModule(dtype=self.dtype, name='aspp')(x)
+        x = x.reshape(b, n, h, w, self.channels)
+
+        # 3. semantic reasoning (226-230); text_proj consumes the
+        # *normalised* text features (reference reassigns text_feats at 216)
+        text_tokens = nn.Dense(self.text_channels, name='text_proj',
+                               dtype=self.dtype,
+                               param_dtype=jnp.float32)(text_n)
+        text_tokens = nn.relu(text_tokens)
+        for i in range(self.num_layers):
+            x = SemanticTransformer(
+                channels=self.channels, text_channels=self.text_channels,
+                num_heads=self.num_heads, pool_size=self.pool_size,
+                dtype=self.dtype, name=f'layers_{i}')(x, text_tokens)
+
+        # 4. skip projections + upsampling (233-239)
+        projected_skips = []
+        for i, (f, sc) in enumerate(zip(skip_feats, self.skip_channels)):
+            s = nn.Conv(sc, (3, 3), padding=((1, 1), (1, 1)),
+                        name=f'skip_proj_{i}', dtype=self.dtype,
+                        param_dtype=jnp.float32)(f.astype(self.dtype))
+            projected_skips.append(nn.relu(s))
+
+        x = x.reshape(b * n, h, w, self.channels)
+        x = Up(self.up_channels[0], self.skip_channels[0], dtype=self.dtype,
+               name='up1')(x, projected_skips[0])
+        x = Up(self.up_channels[1], self.skip_channels[1], dtype=self.dtype,
+               name='up2')(x, projected_skips[1])
+
+        # 5. per-plane head (190, 239-240)
+        x = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name='head',
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        oh, ow = x.shape[1:3]
+        x = x.reshape(b, n, oh, ow)
+
+        # 6. concept -> class aggregation (242-244)
+        if n != self.num_classes:
+            cls2con = get_class_to_concept_idxs(self.text_embedding_name)
+            x = aggregate_concept_predictions(x, cls2con)
+
+        # 7. resize to output size (246-249); NCHW -> resize needs NHWC
+        out_hw = output_size or (self.img_size, self.img_size)
+        x = x.transpose(0, 2, 3, 1)
+        x = resize(x.astype(jnp.float32), out_hw, mode='bilinear',
+                   align_corners=self.align_corners)
+        return x.transpose(0, 3, 1, 2)

@@ -1,0 +1,152 @@
+"""VLM segmentor (Flax): CLIP encoder + language-guided decoder + frozen
+MaskCLIP guidance encoder.
+
+Re-design of the reference ``VLM`` (model/vlm.py:27-127) and its
+monkey-patched ``forward_wrapper`` (model/builder.py:56-102):
+
+- text embeddings are arguments (device constants), never loaded per step
+  (reference reloads the .npy every forward, vlm.py:116);
+- feature perturbation (channel dropout on the encoder pyramid) is driven by
+  an explicit PRNG collection ``'fp'``;
+- ``need_fp`` concatenates clean+perturbed features along batch so one
+  decoder pass serves both (reference builder.py:81-89);
+- the frozen guidance encoder lives in the same param tree under
+  ``clip_encoder`` (kept out of the optimizer by the freeze mask).
+"""
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semivl_tpu.ops.dropout import dropout2d
+from semivl_tpu.ops.resize import resize
+from semivl_tpu.text.embeddings import (
+    aggregate_concept_predictions,
+    get_class_to_concept_idxs,
+)
+
+# ImageNet loader stats (the host pipeline normalises with these) and CLIP
+# stats, for the optional renormalisation (reference vlm.py:69-78).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def renormalize_img_for_clip(img):
+    """ImageNet-normalised -> CLIP-normalised image (reference vlm.py:69-78)."""
+    lm = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    ls = jnp.asarray(IMAGENET_STD, img.dtype)
+    cm = jnp.asarray(CLIP_MEAN, img.dtype)
+    cs = jnp.asarray(CLIP_STD, img.dtype)
+    return (img * ls + lm - cm) / cs
+
+
+class VLM(nn.Module):
+    """Fields hold sub-module *configs* (plain dicts); modules are built in
+    ``setup`` via the builder registry so the param tree gets the reference's
+    top-level scopes: backbone / decode_head / conv_encoder / clip_encoder."""
+    backbone_cfg: Any
+    decode_head_cfg: Any
+    conv_encoder_cfg: Optional[Any] = None
+    clip_encoder_cfg: Optional[Any] = None
+    renorm_clip_img: bool = False
+    fp_rate: float = 0.5
+    mcc_text_embedding_name: str = ''
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from semivl_tpu.models.builder import build_backbone, build_head
+        self.backbone = build_backbone(self.backbone_cfg, self.dtype)
+        self.decode_head = build_head(self.decode_head_cfg, self.dtype)
+        self.conv_encoder = (build_backbone(self.conv_encoder_cfg, self.dtype)
+                             if self.conv_encoder_cfg else None)
+        self.clip_encoder = (build_backbone(self.clip_encoder_cfg, self.dtype)
+                             if self.clip_encoder_cfg else None)
+
+    def _renorm(self, img):
+        return renormalize_img_for_clip(img) if self.renorm_clip_img else img
+
+    def extract_feat(self, img, train=False):
+        """(feats tuple, global_emb, conv_feats) — reference vlm.py:112-123."""
+        out = self.backbone(self._renorm(img))
+        conv_feats = None
+        if self.conv_encoder is not None:
+            conv_feats = self.conv_encoder(img, train=train)
+        return out['feats'], out['global_emb'], conv_feats
+
+    def __call__(self, img, text_feats, need_fp=False, only_fp=False,
+                 train=False):
+        """Segmentation logits at input resolution (B, C, H, W).
+
+        ``need_fp``: returns (preds, preds_fp), each over the input batch
+        (reference builder.py:79-99). FP uses the 'fp' PRNG collection.
+        """
+        h, w = img.shape[1:3]
+        feats, _, conv_feats = self.extract_feat(img, train=train)
+
+        if only_fp or need_fp:
+            rng = self.make_rng('fp')
+            rngs = jax.random.split(rng, len(feats) + (
+                len(conv_feats) if conv_feats else 0))
+            perturbed = tuple(
+                dropout2d(rngs[i], f, self.fp_rate)
+                for i, f in enumerate(feats))
+            conv_perturbed = None
+            if conv_feats:
+                conv_perturbed = [
+                    dropout2d(rngs[len(feats) + i], f, self.fp_rate)
+                    for i, f in enumerate(conv_feats)]
+            if only_fp:
+                feats, conv_feats = perturbed, conv_perturbed
+            else:
+                feats = tuple(jnp.concatenate([f, p])
+                              for f, p in zip(feats, perturbed))
+                if conv_feats:
+                    conv_feats = [jnp.concatenate([f, p]) for f, p in
+                                  zip(conv_feats, conv_perturbed)]
+
+        logits = self.decode_head(feats, text_feats, conv_feats,
+                                  output_size=(h, w))
+        if need_fp:
+            return jnp.split(logits, 2, axis=0)
+        return logits
+
+    def init_variables(self, img, text_feats, mcc_text_feats=None):
+        """Init method touching every param path (linen materialises params
+        only on traversed calls — the guidance encoder lives on a separate
+        method)."""
+        out = self(img, text_feats)
+        if self.clip_encoder_cfg is not None:
+            assert mcc_text_feats is not None
+            self.forward_maskclip(img, mcc_text_feats, 0.9)
+        return out
+
+    def forward_maskclip(self, img, text_feats_mcc, conf_thresh):
+        """Dense pseudo-labels from the frozen CLIP encoder
+        (reference vlm.py:90-110).
+
+        Returns int32 (B, H, W) labels with 255 where confidence is below
+        ``conf_thresh``. Wrap the call in ``stop_gradient``/``eval`` context;
+        the encoder params are frozen by the optimizer mask anyway.
+        """
+        num_classes = self.decode_head_cfg['num_classes']
+        h, w = img.shape[1:3]
+        out = self.clip_encoder(self._renorm(img))
+        visual = out['feats'][-1]  # (B, h', w', 512), L2-normalised
+        text = text_feats_mcc.astype(visual.dtype)
+        # conv2d with the text embeddings as 1x1 kernels (vlm.py:98)
+        dense = jnp.einsum('bhwc,nc->bhwn', visual, text)
+        if dense.shape[-1] != num_classes:
+            cls2con = get_class_to_concept_idxs(self.mcc_text_embedding_name)
+            dense = aggregate_concept_predictions(
+                dense.transpose(0, 3, 1, 2), cls2con).transpose(0, 2, 3, 1)
+        dense = resize(dense.astype(jnp.float32), (h, w), mode='bilinear',
+                       align_corners=self.decode_head_cfg.get(
+                           'align_corners', False))
+        probs = nn.softmax(100.0 * dense, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return jnp.where(conf < conf_thresh, 255, label)

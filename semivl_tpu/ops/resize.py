@@ -74,6 +74,8 @@ def _cubic_weights(out_size, in_size, align_corners):
 
 @functools.lru_cache(maxsize=256)
 def _axis_weights(out_size, in_size, mode, align_corners, dtype_name):
+    """Numpy (out, in) interpolation weights (cached; numpy only — caching a
+    device array here would leak tracers across jit scopes)."""
     if out_size == in_size:
         w = np.eye(out_size)
     elif mode == 'bilinear':
@@ -89,7 +91,7 @@ def _axis_weights(out_size, in_size, mode, align_corners, dtype_name):
         w[np.arange(out_size), idx] = 1.0
     else:
         raise ValueError(mode)
-    return jnp.asarray(w, dtype=jnp.dtype(dtype_name))
+    return w.astype(np.dtype(dtype_name))
 
 
 def resize(x, out_hw, mode='bilinear', align_corners=False):

@@ -1,0 +1,230 @@
+"""Training orchestration.
+
+Equivalent of the reference trainer entrypoints (semivl.py:61-433,
+third_party/unimatch/supervised.py:167-335) on the TPU-native runtime: one
+host process drives an SPMD ``data`` mesh; the per-iteration work is a single
+fused jitted step; eval runs the bucketed sliding-window path; checkpoints
+(best + latest, with true resume) via orbax.
+"""
+
+import math
+import os
+import pprint
+import shutil
+import time
+import uuid
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from jax.sharding import Mesh
+
+from semivl_tpu.data.dataset import SemiDataset, split_path
+from semivl_tpu.data.loader import ShardedLoader
+from semivl_tpu.datasets.classes import CLASSES
+from semivl_tpu.evaluation.predict import Evaluator, evaluate
+from semivl_tpu.models.builder import build_model
+from semivl_tpu.train.checkpoint import CheckpointManager
+from semivl_tpu.train.optim import build_optimizer
+from semivl_tpu.train.step import (
+    TrainState,
+    make_semivl_train_step,
+    make_supervised_train_step,
+    replicate,
+    shard_batch,
+)
+from semivl_tpu.utils.logging_utils import (
+    DictAverageMeter,
+    MetricWriter,
+    add_file_handler,
+    init_log,
+)
+from semivl_tpu.version import __version__
+
+
+def make_mesh(cfg):
+    devices = jax.devices()
+    want = cfg.get('n_gpus', 1) * cfg.get('n_nodes', 1)
+    n = min(len(devices), want) if cfg.get('respect_n_gpus') else len(devices)
+    return Mesh(np.array(devices[:n]), ('data',))
+
+
+def setup_run_dir(cfg, args_dict, logger):
+    timestr = datetime.now().strftime('%y%m%d-%H%M')
+    uid = str(uuid.uuid4())[:5]
+    run_name = f'{timestr}_{cfg["name"]}_v{__version__}_{uid}'.replace('.', '-')
+    save_path = os.path.join('exp', f'exp-{cfg["exp"]}', run_name)
+    os.makedirs(save_path, exist_ok=True)
+    add_file_handler(logger, os.path.join(save_path, 'debug.log'))
+    all_args = {**cfg, **args_dict, 'run_name': run_name,
+                'save_path': save_path, 'exec_version': __version__,
+                'n_devices': len(jax.devices())}
+    logger.info('%s\n', pprint.pformat(all_args))
+    with open(os.path.join(save_path, 'all_args.yaml'), 'w') as f:
+        yaml.dump(all_args, f, default_flow_style=None, sort_keys=False,
+                  indent=2)
+    return run_name, save_path
+
+
+def init_state(bundle, cfg, total_iters, seed=0, pretrained=None):
+    module = bundle.module
+    img = jnp.zeros((1, cfg['crop_size'], cfg['crop_size'], 3))
+    init_args = [img, jnp.asarray(bundle.text_feats)]
+    if bundle.mcc_text_feats is not None:
+        init_args.append(jnp.asarray(bundle.mcc_text_feats))
+    variables = module.init(
+        {'params': jax.random.PRNGKey(seed), 'fp': jax.random.PRNGKey(seed + 1)},
+        *init_args, method='init_variables')
+    if pretrained:
+        from semivl_tpu.tools.convert_clip_weights import load_pretrained_into
+        variables = load_pretrained_into(variables, pretrained,
+                                         bundle=bundle)
+    tx, sched, mask = build_optimizer(
+        cfg, variables['params'],
+        total_iters=total_iters,
+        freeze_backbone=bundle.freeze_backbone,
+        exclude_keys=bundle.exclude_keys,
+        scheduler_max_iters=cfg.get('scheduler_max_iters'))
+    state = TrainState(params=variables,
+                       opt_state=tx.init(variables['params']),
+                       step=jnp.zeros((), jnp.int32))
+    return state, tx, sched, mask
+
+
+def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
+          seed=0):
+    """Run a full training job. Returns (best_mIoU, save_path)."""
+    logger = init_log('global')
+    method = cfg.get('method', 'semivl')
+    run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger)
+    writer = MetricWriter(save_path)
+    mesh = make_mesh(cfg)
+    world = mesh.devices.size
+    logger.info('Data mesh: %d device(s): %s', world, mesh.devices.ravel())
+
+    bundle = build_model(cfg, dtype=jnp.dtype(cfg.get('dtype', 'float32')))
+
+    labeled_id_path = cfg.get('labeled_id_path') or split_path(
+        cfg['dataset'], cfg['split'], 'labeled')
+    unlabeled_id_path = cfg.get('unlabeled_id_path') or split_path(
+        cfg['dataset'], cfg['split'], 'unlabeled')
+    val_id_path = cfg.get('val_id_path')
+
+    trainset_u = SemiDataset(cfg, 'train_u', id_path=unlabeled_id_path,
+                             seed=seed)
+    trainset_l = SemiDataset(cfg, 'train_l', id_path=labeled_id_path,
+                             nsample=len(trainset_u.ids), seed=seed + 1)
+    valset = SemiDataset(cfg, 'val', id_path=val_id_path)
+
+    bs = cfg['batch_size']
+    loader_l = ShardedLoader(trainset_l, bs, world, seed=seed)
+    loader_u = ShardedLoader(trainset_u, bs, world, seed=seed, pair=True)
+    steps_per_epoch = (len(loader_u) if method in ('semivl', 'unimatch')
+                       else len(loader_l))
+
+    if cfg.get('iters') is not None:
+        assert cfg.get('epochs') is None
+        cfg = dict(cfg)
+        cfg['epochs'] = math.ceil(cfg['iters'] / steps_per_epoch)
+    total_iters = steps_per_epoch * cfg['epochs']
+    if max_iters_override:
+        total_iters = min(total_iters, max_iters_override)
+    logger.info('Train for %d epochs / %d iterations.', cfg['epochs'],
+                total_iters)
+
+    state, tx, sched, mask = init_state(bundle, cfg, total_iters, seed,
+                                        pretrained)
+    if method in ('semivl', 'unimatch'):
+        step_fn = make_semivl_train_step(bundle, cfg, tx, mesh, total_iters,
+                                         mask)
+    elif method == 'supervised':
+        step_fn = make_supervised_train_step(bundle, cfg, tx, mesh, mask)
+    else:
+        raise ValueError(method)
+
+    ckpt = CheckpointManager(save_path)
+    previous_best = 0.0
+    start_epoch = 0
+    if ckpt.exists('latest'):
+        state, extra = ckpt.restore('latest', state)
+        start_epoch = int(extra.get('epoch', -1)) + 1
+        previous_best = float(extra.get('previous_best', 0.0))
+        logger.info('Resumed from epoch %d (best %.2f)', start_epoch,
+                    previous_best)
+
+    state = replicate(state, mesh)
+    evaluator = Evaluator(bundle.module, None, bundle.text_feats, cfg)
+    rng = jax.random.PRNGKey(seed + 1234)
+
+    log_avg = DictAverageMeter()
+    done = False
+    for epoch in range(start_epoch, cfg['epochs']):
+        if done:
+            break
+        logger.info('===========> Epoch: %d, LR: %.5f, Previous best: %.2f',
+                    epoch, float(sched(int(state.step))), previous_best)
+        if method in ('semivl', 'unimatch'):
+            batches = zip(loader_l.epoch(epoch), loader_u.epoch(epoch))
+        else:
+            batches = loader_l.epoch(epoch)
+
+        for i, batch in enumerate(batches):
+            t0 = time.time()
+            if method in ('semivl', 'unimatch'):
+                bl, bu = batch
+                device_batch = {
+                    'img_x': bl['img'], 'mask_x': bl['mask'],
+                    **{k: v for k, v in bu.items()},
+                }
+            else:
+                device_batch = batch
+            device_batch = shard_batch(device_batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, device_batch,
+                                     replicate(step_rng, mesh))
+            iters = int(state.step) - 1
+            metrics = {f'train/{k}': float(v) for k, v in
+                       jax.tree.map(np.asarray, metrics).items()}
+            metrics['train/iter_time'] = time.time() - t0
+            log_avg.update(metrics)
+
+            if i % 100 == 0:
+                logger.info('Iters: %d %s', i, str(log_avg))
+                for k, v in log_avg.avgs.items():
+                    writer.add_scalar(k, v, iters)
+                log_avg.reset()
+            if int(state.step) >= total_iters:
+                done = True
+                break
+
+        if (epoch % cfg.get('eval_every_n_epochs', 1) == 0
+                or epoch == cfg['epochs'] - 1 or done):
+            evaluator.update_params(jax.device_get(state.params))
+            eval_mode = cfg['eval_mode']
+            miou, iou_class = evaluate(evaluator, valset, eval_mode, cfg)
+            logger.info(run_name)
+            for cls_idx, iou in enumerate(iou_class):
+                logger.info('***** Evaluation ***** >>>> Class [%d %s] '
+                            'IoU: %.2f', cls_idx,
+                            CLASSES[cfg['dataset']][cls_idx], iou)
+            logger.info('***** Evaluation %s ***** >>>> MeanIoU: %.2f\n',
+                        eval_mode, miou)
+            writer.add_scalar('eval/mIoU', miou, epoch)
+            for idx, iou in enumerate(iou_class):
+                writer.add_scalar(
+                    f'eval/{CLASSES[cfg["dataset"]][idx]}_IoU', iou, epoch)
+
+            is_best = miou > previous_best
+            previous_best = max(miou, previous_best)
+            host_state = jax.device_get(state)
+            ckpt.save('latest', host_state,
+                      extra={'epoch': epoch, 'previous_best': previous_best})
+            if is_best:
+                ckpt.save('best', host_state,
+                          extra={'epoch': epoch,
+                                 'previous_best': previous_best})
+
+    writer.close()
+    return previous_best, save_path

@@ -1,0 +1,263 @@
+"""Fused SPMD train steps.
+
+The reference runs 4 model passes + backward per iteration across DDP
+processes with explicit barriers (semivl.py:203-328). Here the ENTIRE
+iteration — on-device CutMix, teacher pseudo-labeling, MaskCLIP guidance,
+both student passes, losses, gradient pmean and the optimizer update — is
+ONE jitted SPMD program via ``jax.shard_map`` over the ``data`` mesh axis,
+with donated state buffers.
+
+Per-rank loss-normalisation semantics match DDP exactly: each device
+normalises by its own valid-pixel counts, then grads are ``pmean``-ed
+(SURVEY.md §2.6).
+"""
+
+import functools
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from semivl_tpu.losses.ce import cross_entropy, ohem_cross_entropy
+from semivl_tpu.losses.conf_weight import confidence_weighted_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def cutmix_image(img, img_other, box):
+    """Paste ``img_other`` under the box (reference train_utils.py:19-21)."""
+    return jnp.where(box[..., None] == 1, img_other, img)
+
+
+def cutmix_mask(mask, mask_other, box):
+    """(reference train_utils.py:24-27)"""
+    return jnp.where(box == 1, mask_other, mask)
+
+
+def _softmax_conf_label(logits):
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    return jnp.max(probs, axis=1), jnp.argmax(probs, axis=1).astype(jnp.int32)
+
+
+def _freeze_stop_gradient(variables, mask):
+    """stop_gradient on frozen param leaves so XLA skips their weight grads.
+
+    ``variables`` is the full flax variables dict; ``mask`` covers the
+    'params' collection only.
+    """
+    out = dict(variables)
+    out['params'] = jax.tree.map(
+        lambda p, t: p if t else jax.lax.stop_gradient(p),
+        variables['params'], mask)
+    return out
+
+
+def _labeled_loss(cfg, logits, mask):
+    crit = cfg['criterion']['name'] if isinstance(cfg['criterion'], dict) \
+        else cfg['criterion']
+    if crit == 'CELoss':
+        return cross_entropy(logits, mask)
+    if crit == 'OHEM':
+        kwargs = cfg['criterion'].get('kwargs', {})
+        return ohem_cross_entropy(
+            logits, mask, thresh=kwargs.get('thresh', 0.7),
+            min_kept=kwargs.get('min_kept', 200000))
+    raise NotImplementedError(f'criterion {crit!r} (mmseg/SegLossPlus path '
+                              'is model-specific, see atm_head)')
+
+
+def _mc_loss(logits, mc_label, ignore_mask, reduce_mode):
+    """MaskCLIP-consistency loss (reference semivl.py:52-58)."""
+    if reduce_mode == 'mean':
+        return cross_entropy(logits, mc_label)
+    ce = cross_entropy(logits, mc_label, reduction='none')
+    if reduce_mode == 'mean_valid':
+        return jnp.sum(ce) / jnp.maximum(jnp.sum(ignore_mask != 255), 1)
+    if reduce_mode == 'mean_all':
+        return jnp.sum(ce) / ignore_mask.size
+    raise ValueError(reduce_mode)
+
+
+def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
+                           trainable_mask):
+    """Build the fused semi-supervised train step (methods semivl/unimatch;
+    unimatch is the same program with maskclip_consistency_lambda == 0)."""
+    module = bundle.module
+    text = jnp.asarray(bundle.text_feats)
+    mcc_text = (jnp.asarray(bundle.mcc_text_feats)
+                if bundle.mcc_text_feats is not None else None)
+    mcc_lambda = cfg.get('maskclip_consistency_lambda', 0)
+    use_mcc = (mcc_lambda != 0) and mcc_text is not None
+    mcc_conf_thresh = cfg.get('mcc_conf_thresh', 0.75)
+    mcc_loss_reduce = cfg.get('mcc_loss_reduce', 'mean')
+    conf_mode = cfg['conf_mode']
+    conf_thresh = cfg['conf_thresh']
+    criterion_u = cfg['criterion_u']
+    assert cfg.get('use_fp', True), 'reference asserts use_fp (semivl.py:114)'
+
+    def mcc_lambda_at(step):
+        if isinstance(mcc_lambda, (list, tuple)):
+            a, b = mcc_lambda
+            prog = step.astype(jnp.float32) / total_iters
+            return a * (1 - prog) + b * prog
+        return jnp.asarray(float(mcc_lambda), jnp.float32)
+
+    def unlabeled_loss(logits, pl, conf, ignore):
+        if criterion_u == 'CELoss':
+            ce = cross_entropy(logits, pl, reduction='none')
+            return confidence_weighted_loss(ce, conf, ignore, conf_mode,
+                                            conf_thresh)
+        raise NotImplementedError(f'criterion_u {criterion_u!r}')
+
+    def step_fn(state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+        b = batch['img_x'].shape[0]
+
+        # on-device CutMix of the strong views (semivl.py:224-225)
+        img_s1 = cutmix_image(batch['img_s1'], batch['img_s1_other'],
+                              batch['cutmix_box1'])
+        img_s2 = cutmix_image(batch['img_s2'], batch['img_s2_other'],
+                              batch['cutmix_box2'])
+
+        params_sg = _freeze_stop_gradient(state.params, trainable_mask)
+
+        # teacher pseudo-labels for the mixed-in halves (228-232)
+        pred_w_other = module.apply(params_sg, batch['img_w_other'], text)
+        conf_w_other, mask_w_other = _softmax_conf_label(
+            jax.lax.stop_gradient(pred_w_other))
+
+        # MaskCLIP guidance labels (234-240)
+        if use_mcc:
+            mclip_all = module.apply(
+                params_sg,
+                jnp.concatenate([batch['img_w'], batch['img_w_other']]),
+                mcc_text, mcc_conf_thresh, method='forward_maskclip')
+            mclip, mclip_other = mclip_all[:b], mclip_all[b:]
+            mclip = jnp.where(batch['ignore_mask'] == 255, 255, mclip)
+            mclip_other = jnp.where(batch['ignore_mask_other'] == 255, 255,
+                                    mclip_other)
+
+        def loss_fn(params):
+            params = _freeze_stop_gradient(params, trainable_mask)
+            rng_fp = jax.random.fold_in(rng, 1)
+            preds, preds_fp = module.apply(
+                params, jnp.concatenate([batch['img_x'], batch['img_w']]),
+                text, need_fp=True, train=True, rngs={'fp': rng_fp})
+            pred_x, pred_w = preds[:b], preds[b:]
+            pred_w_fp = preds_fp[b:]
+
+            pred_s = module.apply(
+                params, jnp.concatenate([img_s1, img_s2]), text, train=True)
+            pred_s1, pred_s2 = pred_s[:b], pred_s[b:]
+
+            conf_w, mask_w = _softmax_conf_label(
+                jax.lax.stop_gradient(pred_w))
+
+            box1, box2 = batch['cutmix_box1'], batch['cutmix_box2']
+            mask_w_m1 = cutmix_mask(mask_w, mask_w_other, box1)
+            mask_w_m2 = cutmix_mask(mask_w, mask_w_other, box2)
+            conf_w_m1 = cutmix_mask(conf_w, conf_w_other, box1)
+            conf_w_m2 = cutmix_mask(conf_w, conf_w_other, box2)
+            ign_m1 = cutmix_mask(batch['ignore_mask'],
+                                 batch['ignore_mask_other'], box1)
+            ign_m2 = cutmix_mask(batch['ignore_mask'],
+                                 batch['ignore_mask_other'], box2)
+
+            loss_x = _labeled_loss(cfg, pred_x, batch['mask_x'])
+            loss_s1 = unlabeled_loss(pred_s1, mask_w_m1, conf_w_m1, ign_m1)
+            loss_s2 = unlabeled_loss(pred_s2, mask_w_m2, conf_w_m2, ign_m2)
+            loss_fp = unlabeled_loss(pred_w_fp, mask_w, conf_w,
+                                     batch['ignore_mask'])
+
+            loss = (loss_x + loss_s1 * 0.25 + loss_s2 * 0.25
+                    + loss_fp * 0.5) / 2.0
+            metrics = {'loss_x': loss_x, 'loss_s1': loss_s1,
+                       'loss_s2': loss_s2, 'loss_fp': loss_fp}
+            if use_mcc:
+                lam = mcc_lambda_at(state.step)
+                mc_m1 = cutmix_mask(mclip, mclip_other, box1)
+                mc_m2 = cutmix_mask(mclip, mclip_other, box2)
+                loss_mc_s1 = _mc_loss(pred_s1, mc_m1, ign_m1, mcc_loss_reduce)
+                loss_mc_s2 = _mc_loss(pred_s2, mc_m2, ign_m2, mcc_loss_reduce)
+                loss_mc_fp = _mc_loss(pred_w_fp, mclip,
+                                      batch['ignore_mask'], mcc_loss_reduce)
+                loss = loss + lam * (loss_mc_s1 * 0.25 + loss_mc_s2 * 0.25
+                                     + loss_mc_fp * 0.5)
+                metrics.update({'loss_mc_s1': loss_mc_s1,
+                                'loss_mc_s2': loss_mc_s2,
+                                'loss_mc_fp': loss_mc_fp})
+            metrics['loss_all'] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads['params'], 'data')
+        metrics = jax.lax.pmean(metrics, 'data')
+
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params['params'])
+        new_inner = optax.apply_updates(state.params['params'], updates)
+        new_state = TrainState(
+            params={**state.params, 'params': new_inner},
+            opt_state=new_opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    batch_keys_sharded = P('data')
+    sharded_step = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), batch_keys_sharded, P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded_step, donate_argnums=(0,))
+
+
+def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
+    """Labeled-only baseline step (reference supervised.py:273-289)."""
+    module = bundle.module
+    text = jnp.asarray(bundle.text_feats)
+
+    def step_fn(state, batch, rng):
+        del rng
+
+        def loss_fn(params):
+            params = _freeze_stop_gradient(params, trainable_mask)
+            pred = module.apply(params, batch['img'], text, train=True)
+            loss = _labeled_loss(cfg, pred, batch['mask'])
+            return loss, {'loss_all': loss, 'loss_x': loss}
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads['params'], 'data')
+        metrics = jax.lax.pmean(metrics, 'data')
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params['params'])
+        new_inner = optax.apply_updates(state.params['params'], updates)
+        return (TrainState(params={**state.params, 'params': new_inner},
+                           opt_state=new_opt_state, step=state.step + 1),
+                metrics)
+
+    sharded_step = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P('data'), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded_step, donate_argnums=(0,))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with the leading axis over the data mesh."""
+    sharding = NamedSharding(mesh, P('data'))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()
+            if not isinstance(v, list)}
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

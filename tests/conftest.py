@@ -7,14 +7,30 @@ harness: all sharding/collective logic is validated on
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The machine's sitecustomize registers the axon TPU backend and overrides
+# JAX_PLATFORMS; force the CPU backend through jax.config (must happen before
+# first backend use).
+jax.config.update('jax_platforms', 'cpu')
+
+# Parity tests compare against float32 PyTorch references; run all matmuls at
+# full precision under test. Production kernels choose their own dtype
+# (bfloat16 on TPU) explicitly via module `dtype` fields.
+jax.config.update('jax_default_matmul_precision', 'highest')
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == 'cpu', jax.devices()
+    assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture

@@ -1,0 +1,95 @@
+"""Metrics + sliding-window evaluation tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semivl_tpu.evaluation.metrics import (
+    intersection_and_union,
+    miou_from_histograms,
+)
+from semivl_tpu.evaluation.predict import Evaluator, _bucket, evaluate
+
+from synth_data import make_synth_dataset, synth_cfg
+from tiny_model import tiny_bundle
+
+
+def test_intersection_and_union_reference_parity(rng):
+    """Cross-check against the reference's np.histogram formulation."""
+    K = 5
+    out = rng.randint(0, K, (2, 16, 16))
+    tgt = rng.randint(0, K, (2, 16, 16))
+    tgt[0, :2] = 255
+    inter, union, target = intersection_and_union(out, tgt, K)
+
+    o = out.reshape(-1).copy()
+    t = tgt.reshape(-1)
+    o[np.where(t == 255)[0]] = 255
+    ref_inter, _ = np.histogram(o[np.where(o == t)[0]], bins=np.arange(K + 1))
+    ref_out, _ = np.histogram(o, bins=np.arange(K + 1))
+    ref_tgt, _ = np.histogram(t, bins=np.arange(K + 1))
+    np.testing.assert_array_equal(inter, ref_inter)
+    np.testing.assert_array_equal(union, ref_out + ref_tgt - ref_inter)
+    np.testing.assert_array_equal(target, ref_tgt)
+
+
+def test_miou_perfect_prediction():
+    pred = np.array([[0, 1], [2, 2]])
+    inter, union, _ = intersection_and_union(pred, pred, 3)
+    miou, per_class = miou_from_histograms(inter.astype(np.float64),
+                                           union.astype(np.float64))
+    assert miou == pytest.approx(100.0, abs=1e-6)
+
+
+def test_bucketing():
+    assert _bucket(1) == 1 and _bucket(3) == 4 and _bucket(9) == 16
+    assert _bucket(40) == 64
+
+
+@pytest.fixture(scope='module')
+def tiny_eval(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('evalds'))
+    # 106: sliding_window edge crops stay >= 2 patches (22px), as in the
+    # real Cityscapes geometry (edge crops 446/490 vs 801 grid)
+    make_synth_dataset(root, n_val=2, size=(106, 106))
+    bundle = tiny_bundle(num_classes=21, img_size=64, with_mcc=False)
+    params = bundle.module.init(
+        {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3)), jnp.asarray(bundle.text_feats),
+        method='init_variables')
+    return root, bundle, params
+
+
+@pytest.mark.parametrize('mode,stride', [
+    ('zegclip_sliding_window', 48),
+    ('sliding_window', None),
+    ('padded_sliding_window', 48),
+    ('original', None),
+])
+def test_eval_modes_run(tiny_eval, mode, stride):
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    if stride:
+        cfg['stride'] = stride
+    from semivl_tpu.data.dataset import SemiDataset
+    import os
+    ds = SemiDataset(cfg, 'val',
+                     id_path=os.path.join(root, 'splits', 'val.txt'))
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    miou, iou_class = evaluate(ev, ds, mode, cfg)
+    assert 0.0 <= miou <= 100.0
+    assert iou_class.shape == (21,)
+
+
+def test_zegclip_window_count(tiny_eval):
+    """Window grid matches the reference formula (supervised.py:74-75)."""
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    img = np.zeros((1, 106, 106, 3), np.float32)
+    pred = ev.predict(img, (106, 106), 'zegclip_sliding_window')
+    assert pred.shape == (1, 106, 106)
