@@ -27,7 +27,22 @@ def main():
     parser.add_argument('--steps', type=int, default=10)
     parser.add_argument('--warmup', type=int, default=3)
     parser.add_argument('--dtype', default='bfloat16')
+    parser.add_argument('--attention', default='pallas',
+                        choices=['xla', 'pallas'])
     args = parser.parse_args()
+
+    from semivl_tpu.ops.attention import set_default_impl
+    set_default_impl(args.attention)
+
+    import os
+    import jax
+    # single-core host: persist compiled executables so reruns skip the
+    # multi-minute XLA compile of the fused step
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
 
     import jax
     import jax.numpy as jnp

@@ -76,23 +76,27 @@ class Evaluator:
 
     # ---- predict modes (reference supervised.py:40-132) ----
 
-    def predict(self, img, mask_shape, mode):
-        """img: (1, H, W, 3) numpy. Returns (1, h_mask, w_mask) int preds."""
+    def predict(self, img, mask_shape, mode, return_logits=False):
+        """img: (1, H, W, 3) numpy. Returns (1, h_mask, w_mask) int preds;
+        with ``return_logits`` also the accumulated score map (reference
+        supervised.py:129-132 / eval.py:47)."""
         if mode == 'zegclip_sliding_window':
-            return self._zegclip_sliding(img, mask_shape)
-        if mode == 'sliding_window':
-            return self._sliding(img, mask_shape)
-        if mode == 'padded_sliding_window':
-            return self._padded_sliding(img, mask_shape)
-        if mode in ('original', 'center_crop'):
+            out = self._zegclip_sliding(img, mask_shape)
+        elif mode == 'sliding_window':
+            out = self._sliding(img, mask_shape)
+        elif mode == 'padded_sliding_window':
+            out = self._padded_sliding(img, mask_shape)
+        elif mode in ('original', 'center_crop'):
             if mode == 'center_crop':
                 size = self.cfg['crop_size']
                 h, w = img.shape[1:3]
                 sh, sw = (h - size) // 2, (w - size) // 2
                 img = img[:, sh:sh + size, sw:sw + size]
             logits = self._forward(img)
-            return logits.argmax(axis=1)
-        raise ValueError(mode)
+            out = (logits.argmax(axis=1), logits)
+        else:
+            raise ValueError(mode)
+        return out if return_logits else out[0]
 
     def _zegclip_sliding(self, img, mask_shape):
         """Edge-aligned grid, logits averaged by visit count, resized to the
@@ -119,7 +123,7 @@ class Evaluator:
         assert (count == 0).sum() == 0
         preds /= count
         final = _np_resize_bilinear(preds, mask_shape, align_corners=True)
-        return final.argmax(axis=1)
+        return final.argmax(axis=1), final
 
     def _sliding(self, img, mask_shape):
         """Cityscapes-style: stride 2/3 crop, softmax summed, variable edge
@@ -148,7 +152,7 @@ class Evaluator:
             for i, (y1, x1, y2, x2) in enumerate(boxes):
                 final[0, :, y1:y2, x1:x2] += probs[i]
         assert final.shape[-2:] == tuple(mask_shape)
-        return final.argmax(axis=1)
+        return final.argmax(axis=1), final
 
     def _padded_sliding(self, img, mask_shape):
         """Zero-padded fixed-size crops (supervised.py:41-67)."""
@@ -175,7 +179,7 @@ class Evaluator:
         for i, (y1, x1, y2, x2) in enumerate(boxes):
             final[0, :, y1:y2, x1:x2] += probs[i, :, :y2 - y1, :x2 - x1]
         assert final.shape[-2:] == tuple(mask_shape)
-        return final.argmax(axis=1)
+        return final.argmax(axis=1), final
 
 
 def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None):

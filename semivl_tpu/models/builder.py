@@ -58,8 +58,10 @@ def build_backbone(cfg, dtype):
             patch_size=cfg.get('patch_size', 16),
             width=cfg.get('width', 768),
             layers=cfg.get('layers', 12),
+            heads=cfg.get('heads', 12),
             output_dim=cfg.get('output_dim', 512),
             num_tokens=cfg.get('num_tokens', 10),
+            prompt_dim=cfg.get('prompt_dim', 768),
             total_d_layer=cfg.get('total_d_layer', 11),
             out_indices=tuple(cfg.get('out_indices', (11,))),
             drop_path_rate=cfg.get('drop_path_rate', 0.0),
@@ -110,7 +112,10 @@ def build_head(cfg, dtype):
             num_layers=cfg.get('num_layers', 3),
             num_heads=cfg.get('num_heads', 8),
             use_stages=cfg.get('use_stages', 1),
+            use_proj=cfg.get('use_proj', True),
+            use_rd=cfg.get('use_rd', True),
             align_corners=cfg.get('align_corners', False),
+            text_embedding_name=cfg.get('text_embedding_name', ''),
             dtype=dtype)
     raise ValueError(f'Unknown head type {kind!r}')
 
@@ -140,8 +145,26 @@ def build_model(cfg, dtype=jnp.float32):
     if 'mmseg.' not in model_type and model_type != 'deeplabv3plus':
         raise ValueError(model_type)
     if model_type == 'deeplabv3plus':
-        raise NotImplementedError(
-            'UniMatch DeepLabV3+ path not yet wired into build_model')
+        # original UniMatch baseline (reference builder.py:106-107)
+        from semivl_tpu.models.deeplabv3plus import DeepLabV3Plus
+        module = DeepLabV3Plus(
+            num_classes=cfg['nclass'],
+            backbone=cfg['backbone'],
+            replace_stride_with_dilation=tuple(
+                cfg.get('replace_stride_with_dilation',
+                        (False, False, True))),
+            dilations=tuple(cfg.get('dilations', (6, 12, 18))),
+            fp_rate=cfg.get('fp_rate', 0.5),
+            dtype=dtype)
+        return ModelBundle(
+            module=module,
+            text_feats=np.zeros((cfg['nclass'], 1), np.float32),  # unused
+            mcc_text_feats=None,
+            num_classes=cfg['nclass'],
+            img_size=cfg['crop_size'],
+            model_cfg={'model': {'type': 'DeepLabV3Plus'}},
+            freeze_backbone=False,
+            exclude_keys=None)
 
     name = model_type.replace('mmseg.', '')
     mcfg = get_model_config(name, img_size=cfg['crop_size'])

@@ -67,11 +67,21 @@ class Attention(nn.Module):
         return out
 
 
+def gelu_exact(x):
+    """Exact erf GELU (torch nn.GELU default; flax defaults to tanh approx)."""
+    return nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    """CLIP's QuickGELU: x * sigmoid(1.702 x) (zegclip utils.py)."""
+    return x * nn.sigmoid(1.702 * x)
+
+
 class Mlp(nn.Module):
     """Transformer FFN: fc1 -> GELU -> fc2 (mmcv FFN parity, reference
     maskclip_vit.py:94-100; dropout rates are 0 in every SemiVL config)."""
     hidden_dim: int
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -191,13 +191,15 @@ class VLGHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, text_feats, conv_feats=None, output_size=None):
+    def __call__(self, feats, text_feats, conv_feats=None, output_size=None,
+                 train=False, global_emb=None):
         """feats: tuple of NHWC maps (pyramid..., dense CLIP embed last);
         text_feats: (N, Ct) or (B, N, Ct); conv_feats: list of NHWC maps.
 
         Returns (B, num_classes, out_h, out_w) logits (NCHW layout to match
         loss/eval code expecting class-first maps).
         """
+        del train, global_emb  # VLG: GroupNorm/LN only, no cls-token use
         img_feats = feats[-1]
         if self.skip_from_conv_feat:
             assert conv_feats is not None

@@ -85,7 +85,7 @@ class VLM(nn.Module):
         (reference builder.py:79-99). FP uses the 'fp' PRNG collection.
         """
         h, w = img.shape[1:3]
-        feats, _, conv_feats = self.extract_feat(img, train=train)
+        feats, global_emb, conv_feats = self.extract_feat(img, train=train)
 
         if only_fp or need_fp:
             rng = self.make_rng('fp')
@@ -107,9 +107,14 @@ class VLM(nn.Module):
                 if conv_feats:
                     conv_feats = [jnp.concatenate([f, p]) for f, p in
                                   zip(conv_feats, conv_perturbed)]
+                if global_emb is not None:
+                    # reference duplicates the global embedding for the fp
+                    # half (builder.py:82)
+                    global_emb = jnp.concatenate([global_emb, global_emb])
 
         logits = self.decode_head(feats, text_feats, conv_feats,
-                                  output_size=(h, w))
+                                  output_size=(h, w), train=train,
+                                  global_emb=global_emb)
         if need_fp:
             return jnp.split(logits, 2, axis=0)
         return logits

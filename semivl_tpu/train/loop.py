@@ -65,6 +65,13 @@ def setup_run_dir(cfg, args_dict, logger):
     with open(os.path.join(save_path, 'all_args.yaml'), 'w') as f:
         yaml.dump(all_args, f, default_flow_style=None, sort_keys=False,
                   indent=2)
+    with open(os.path.join(save_path, 'config.yaml'), 'w') as f:
+        yaml.dump(cfg, f, default_flow_style=None, sort_keys=False, indent=2)
+    try:
+        from semivl_tpu.utils.code_archive import gen_code_archive
+        gen_code_archive(save_path)
+    except Exception as exc:  # archiving must never kill a run
+        logger.warning('code archive failed: %s', exc)
     return run_name, save_path
 
 
@@ -97,6 +104,9 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
           seed=0):
     """Run a full training job. Returns (best_mIoU, save_path)."""
     logger = init_log('global')
+    if cfg.get('attention_impl'):
+        from semivl_tpu.ops.attention import set_default_impl
+        set_default_impl(cfg['attention_impl'])
     method = cfg.get('method', 'semivl')
     run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger)
     writer = MetricWriter(save_path)

@@ -69,8 +69,11 @@ def _labeled_loss(cfg, logits, mask):
         return ohem_cross_entropy(
             logits, mask, thresh=kwargs.get('thresh', 0.7),
             min_kept=kwargs.get('min_kept', 200000))
-    raise NotImplementedError(f'criterion {crit!r} (mmseg/SegLossPlus path '
-                              'is model-specific, see atm_head)')
+    if crit == 'mmseg':
+        # SegLossPlus via the model's loss_decode (reference semivl.py:270)
+        from semivl_tpu.losses.seg_loss_plus import seg_loss_plus
+        return seg_loss_plus(logits, mask, cfg['nclass'], axis_name='data')
+    raise NotImplementedError(f'criterion {crit!r}')
 
 
 def _mc_loss(logits, mc_label, ignore_mask, reduce_mode):
@@ -114,6 +117,17 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             ce = cross_entropy(logits, pl, reduction='none')
             return confidence_weighted_loss(ce, conf, ignore, conf_mode,
                                             conf_thresh)
+        if criterion_u == 'mmseg':
+            # SegLossPlus on pseudo-labels scaled by the per-rank
+            # high-confidence fraction (reference semivl.py:278-282)
+            from semivl_tpu.losses.seg_loss_plus import seg_loss_plus
+            loss = seg_loss_plus(logits, pl, cfg['nclass'],
+                                 axis_name='data')
+            valid = (ignore != 255)
+            kept = (conf >= conf_thresh) & valid
+            ratio = (jnp.sum(kept) /
+                     jnp.maximum(jnp.sum(valid), 1)).astype(jnp.float32)
+            return loss * ratio
         raise NotImplementedError(f'criterion_u {criterion_u!r}')
 
     def step_fn(state, batch, rng):
@@ -144,17 +158,32 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             mclip_other = jnp.where(batch['ignore_mask_other'] == 255, 255,
                                     mclip_other)
 
+        has_bn = 'batch_stats' in state.params
+
         def loss_fn(params):
             params = _freeze_stop_gradient(params, trainable_mask)
             rng_fp = jax.random.fold_in(rng, 1)
-            preds, preds_fp = module.apply(
+            out = module.apply(
                 params, jnp.concatenate([batch['img_x'], batch['img_w']]),
-                text, need_fp=True, train=True, rngs={'fp': rng_fp})
+                text, need_fp=True, train=True, rngs={'fp': rng_fp},
+                mutable=['batch_stats'] if has_bn else False)
+            if has_bn:
+                (preds, preds_fp), upd = out
+                params = {**params, **jax.lax.stop_gradient(upd)}
+            else:
+                preds, preds_fp = out
             pred_x, pred_w = preds[:b], preds[b:]
             pred_w_fp = preds_fp[b:]
 
-            pred_s = module.apply(
-                params, jnp.concatenate([img_s1, img_s2]), text, train=True)
+            out = module.apply(
+                params, jnp.concatenate([img_s1, img_s2]), text, train=True,
+                mutable=['batch_stats'] if has_bn else False)
+            if has_bn:
+                pred_s, upd = out
+                new_collections = jax.lax.stop_gradient(upd)
+            else:
+                pred_s = out
+                new_collections = {}
             pred_s1, pred_s2 = pred_s[:b], pred_s[b:]
 
             conf_w, mask_w = _softmax_conf_label(
@@ -194,9 +223,9 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
                                 'loss_mc_s2': loss_mc_s2,
                                 'loss_mc_fp': loss_mc_fp})
             metrics['loss_all'] = loss
-            return loss, metrics
+            return loss, (metrics, new_collections)
 
-        (_, metrics), grads = jax.value_and_grad(
+        (_, (metrics, new_colls)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads['params'], 'data')
         metrics = jax.lax.pmean(metrics, 'data')
@@ -205,7 +234,7 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
                                            state.params['params'])
         new_inner = optax.apply_updates(state.params['params'], updates)
         new_state = TrainState(
-            params={**state.params, 'params': new_inner},
+            params={**state.params, **new_colls, 'params': new_inner},
             opt_state=new_opt_state, step=state.step + 1)
         return new_state, metrics
 
@@ -225,21 +254,29 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
 
     def step_fn(state, batch, rng):
         del rng
+        has_bn = 'batch_stats' in state.params
 
         def loss_fn(params):
             params = _freeze_stop_gradient(params, trainable_mask)
-            pred = module.apply(params, batch['img'], text, train=True)
+            out = module.apply(params, batch['img'], text, train=True,
+                               mutable=['batch_stats'] if has_bn else False)
+            if has_bn:
+                pred, upd = out
+                new_colls = jax.lax.stop_gradient(upd)
+            else:
+                pred, new_colls = out, {}
             loss = _labeled_loss(cfg, pred, batch['mask'])
-            return loss, {'loss_all': loss, 'loss_x': loss}
+            return loss, ({'loss_all': loss, 'loss_x': loss}, new_colls)
 
-        (_, metrics), grads = jax.value_and_grad(
+        (_, (metrics, new_colls)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads['params'], 'data')
         metrics = jax.lax.pmean(metrics, 'data')
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params['params'])
         new_inner = optax.apply_updates(state.params['params'], updates)
-        return (TrainState(params={**state.params, 'params': new_inner},
+        return (TrainState(params={**state.params, **new_colls,
+                                   'params': new_inner},
                            opt_state=new_opt_state, step=state.step + 1),
                 metrics)
 

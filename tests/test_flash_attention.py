@@ -1,0 +1,59 @@
+"""Fused-attention kernel correctness (interpret mode on CPU) + gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semivl_tpu.ops.attention import _mha_xla, multi_head_attention
+from semivl_tpu.ops.flash_attention import flash_mha
+
+
+@pytest.mark.parametrize('shape', [
+    (2, 65, 32, 4),    # off-block length (pad path)
+    (1, 128, 64, 8),   # exact block
+    (3, 100, 48, 6),
+])
+def test_flash_matches_xla(rng, shape):
+    b, l, c, h = shape
+    q = rng.randn(b, l, c).astype(np.float32)
+    k = rng.randn(b, l, c).astype(np.float32)
+    v = rng.randn(b, l, c).astype(np.float32)
+    want = np.asarray(_mha_xla(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), h))
+    got = np.asarray(flash_mha(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), h, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match(rng):
+    b, l, c, h = 1, 40, 32, 4
+    q = jnp.asarray(rng.randn(b, l, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, c), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, h, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_mha_xla(q, k, v, h) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dispatch_switch(rng):
+    from semivl_tpu.ops import attention as attn_mod
+    q = jnp.asarray(rng.randn(1, 16, 16), jnp.float32)
+    assert attn_mod.get_default_impl() == 'xla'
+    out_xla = multi_head_attention(q, q, q, 4)
+    attn_mod.set_default_impl('pallas')
+    try:
+        out_p = multi_head_attention(q, q, q, 4)
+    finally:
+        attn_mod.set_default_impl('xla')
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)
