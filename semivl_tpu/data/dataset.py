@@ -51,6 +51,8 @@ class SemiDataset:
         self.reduce_zero_label = cfg.get('reduce_zero_label', False)
         self.labeled_photometric_distortion = cfg.get(
             'labeled_photometric_distortion', False)
+        # strong photometric augs on device (ops/augment.py) instead of PIL
+        self.strong_aug_on_device = cfg.get('strong_aug_on_device', False)
         self.seed = seed
 
         if mode in ('train_l', 'train_u'):
@@ -128,6 +130,17 @@ class SemiDataset:
             return dict(img=T.normalize(img), mask=np.asarray(mask, np.int32))
 
         # train_u: weak + 2 strong views (semi.py:85-107)
+        mask_np_early = np.asarray(mask, np.int32)
+        if self.strong_aug_on_device:
+            # ship one [0,1] crop; the fused step derives both strong views
+            # and all normalisations in-graph (ops/augment.py)
+            return dict(
+                img_raw=np.asarray(img, np.float32) / 255.0,
+                ignore_mask=np.where(mask_np_early == 254, 255, 0)
+                .astype(np.int32),
+                cutmix_box1=T.obtain_cutmix_box(self.size, rs),
+                cutmix_box2=T.obtain_cutmix_box(self.size, rs))
+
         img_s1, img_s2 = img, img
         if rs.random_sample() < 0.8:
             img_s1 = T.color_jitter(img_s1, rs)

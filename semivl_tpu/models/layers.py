@@ -41,15 +41,39 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype if self.dtype is not None else orig_dtype)
 
 
+class LoRAAdapter(nn.Module):
+    """Low-rank adapter: x -> scaling * (x A^T) B^T (reference
+    model/backbone/lora.py:21-58; A ~ kaiming-uniform, B zero-init so the
+    adapter starts as identity)."""
+    rank: int
+    scaling: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        a = self.param('lora_a', nn.initializers.he_uniform(), (c, self.rank),
+                       jnp.float32)
+        b = self.param('lora_b', nn.initializers.zeros, (self.rank, c),
+                       jnp.float32)
+        return self.scaling * ((x @ a.astype(x.dtype)) @ b.astype(x.dtype))
+
+
 class Attention(nn.Module):
     """Packed-QKV multi-head self-attention (torch MultiheadAttention parity).
 
     Parameters are stored as a single ``in_proj`` (3C) and ``out_proj`` so the
     CLIP checkpoint converter maps 1:1 (reference convert_clip_weights.py
     attn.attn.in_proj_weight / out_proj).
+
+    ``lora_rank`` > 0 adds q/k/v/o low-rank adapters (reference
+    model/backbone/lora.py — config-reachable, unused by the paper grid).
     """
     num_heads: int
     qkv_bias: bool = True
+    lora_rank: int = 0
+    lora_scaling: float = 1.0
+    lora_targets: str = 'qkvo'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,10 +85,29 @@ class Attention(nn.Module):
                             dtype=self.dtype, param_dtype=jnp.float32)
         qkv = in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = out_proj(multi_head_attention(q, k, v, self.num_heads))
+        if self.lora_rank > 0:
+            for t in self.lora_targets:
+                if t == 'o':
+                    continue
+                delta = LoRAAdapter(self.rank_or(), self.lora_scaling,
+                                    self.dtype, name=f'lora_{t}')(x)
+                if t == 'q':
+                    q = q + delta
+                elif t == 'k':
+                    k = k + delta
+                elif t == 'v':
+                    v = v + delta
+        attn_out = multi_head_attention(q, k, v, self.num_heads)
+        out = out_proj(attn_out)
+        if self.lora_rank > 0 and 'o' in self.lora_targets:
+            out = out + LoRAAdapter(self.rank_or(), self.lora_scaling,
+                                    self.dtype, name='lora_o')(attn_out)
         if return_qkv:
             return out, (q, k, v), out_proj
         return out
+
+    def rank_or(self):
+        return self.lora_rank
 
 
 def gelu_exact(x):

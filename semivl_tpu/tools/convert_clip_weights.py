@@ -162,10 +162,42 @@ def load_torch_checkpoint(path):
             for k, v in sd.items()}
 
 
-def convert(src_path, out_path):
+def convert_openai_text(sd, num_layers=12):
+    """OpenAI CLIP text-tower state dict -> CLIPTextTransformer params."""
+    p = {
+        'token_embedding': _t(sd['token_embedding.weight']),
+        'positional_embedding': _t(sd['positional_embedding']),
+        'ln_final': {'scale': _t(sd['ln_final.weight']),
+                     'bias': _t(sd['ln_final.bias'])},
+        'text_projection': _t(sd['text_projection']),
+    }
+    for i in range(num_layers):
+        pre = f'transformer.resblocks.{i}.'
+        p[f'layers_{i}_ln1'] = {'scale': _t(sd[pre + 'ln_1.weight']),
+                                'bias': _t(sd[pre + 'ln_1.bias'])}
+        p[f'layers_{i}_ln2'] = {'scale': _t(sd[pre + 'ln_2.weight']),
+                                'bias': _t(sd[pre + 'ln_2.bias'])}
+        p[f'layers_{i}_attn'] = {
+            'in_proj': {'kernel': _t(sd[pre + 'attn.in_proj_weight']).T,
+                        'bias': _t(sd[pre + 'attn.in_proj_bias'])},
+            'out_proj': {'kernel': _t(sd[pre + 'attn.out_proj.weight']).T,
+                         'bias': _t(sd[pre + 'attn.out_proj.bias'])},
+        }
+        p[f'layers_{i}_ffn'] = {
+            'fc1': {'kernel': _t(sd[pre + 'mlp.c_fc.weight']).T,
+                    'bias': _t(sd[pre + 'mlp.c_fc.bias'])},
+            'fc2': {'kernel': _t(sd[pre + 'mlp.c_proj.weight']).T,
+                    'bias': _t(sd[pre + 'mlp.c_proj.bias'])},
+        }
+    return p
+
+
+def convert(src_path, out_path, text_out_path=None):
     sd = load_torch_checkpoint(src_path)
     if any(k.startswith('visual.') for k in sd):
         flat = convert_openai_visual(sd)
+        if text_out_path and 'text_projection' in sd:
+            save_flax_npz(text_out_path, convert_openai_text(sd))
     else:
         flat = {k.replace('backbone.', ''): np.asarray(v, np.float32)
                 for k, v in sd.items()}
@@ -203,8 +235,10 @@ def main():
     parser.add_argument('--src', required=True,
                         help='OpenAI CLIP .pt or clip2mmseg .pth')
     parser.add_argument('--out', required=True, help='output .npz')
+    parser.add_argument('--text-out', default=None,
+                        help='also dump text-encoder params .npz')
     args = parser.parse_args()
-    tree = convert(args.src, args.out)
+    tree = convert(args.src, args.out, text_out_path=args.text_out)
     n = sum(int(np.prod(v.shape)) for v in _flatten(tree).values())
     print(f'wrote {args.out} ({n / 1e6:.1f}M params)')
 

@@ -31,6 +31,8 @@ class CheckpointManager:
             'opt_state': state.opt_state,
             'step': state.step,
         }
+        if getattr(state, 'ema_params', None) is not None:
+            payload['ema_params'] = state.ema_params
         if extra:
             payload['extra'] = {k: np.asarray(v) for k, v in extra.items()}
         path = self._slot(name)
@@ -45,15 +47,19 @@ class CheckpointManager:
             'opt_state': state.opt_state,
             'step': state.step,
         }
+        if getattr(state, 'ema_params', None) is not None:
+            target['ema_params'] = state.ema_params
         # probe whether an extra dict was saved
         try:
             restored = self._ckptr.restore(path, target | {'extra': None})
         except BaseException:
             restored = self._ckptr.restore(path, target)
             restored['extra'] = {}
-        new_state = state.replace(params=restored['params'],
-                                  opt_state=restored['opt_state'],
-                                  step=restored['step'])
+        new_state = state.replace(
+            params=restored['params'],
+            opt_state=restored['opt_state'],
+            step=restored['step'],
+            ema_params=restored.get('ema_params', state.ema_params))
         return new_state, restored.get('extra') or {}
 
     def exists(self, name):

@@ -94,9 +94,12 @@ def init_state(bundle, cfg, total_iters, seed=0, pretrained=None):
         freeze_backbone=bundle.freeze_backbone,
         exclude_keys=bundle.exclude_keys,
         scheduler_max_iters=cfg.get('scheduler_max_iters'))
+    ema = (jax.tree.map(jnp.array, variables['params'])
+           if cfg.get('ema_decay') else None)
     state = TrainState(params=variables,
                        opt_state=tx.init(variables['params']),
-                       step=jnp.zeros((), jnp.int32))
+                       step=jnp.zeros((), jnp.int32),
+                       ema_params=ema)
     return state, tx, sched, mask
 
 
@@ -182,6 +185,13 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
         for i, batch in enumerate(batches):
             t0 = time.time()
+            # jax.profiler trace window (SURVEY.md §5: reference has none)
+            if cfg.get('profile_dir') and int(state.step) == cfg.get(
+                    'profile_start_step', 10):
+                jax.profiler.start_trace(cfg['profile_dir'])
+            if cfg.get('profile_dir') and int(state.step) == cfg.get(
+                    'profile_start_step', 10) + cfg.get('profile_steps', 5):
+                jax.profiler.stop_trace()
             if method in ('semivl', 'unimatch'):
                 bl, bu = batch
                 device_batch = {

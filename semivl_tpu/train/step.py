@@ -29,6 +29,15 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # Optional EMA of the 'params' collection. The reference trainer keeps
+    # no EMA (its released checkpoints do, under 'ema_model' —
+    # SURVEY.md §5); enable with cfg['ema_decay'].
+    ema_params: Any = None
+
+
+def _ema_update(old, new, decay):
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p, old, new)
 
 
 def cutmix_image(img, img_other, box):
@@ -130,9 +139,25 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             return loss * ratio
         raise NotImplementedError(f'criterion_u {criterion_u!r}')
 
+    on_device_aug = cfg.get('strong_aug_on_device', False)
+
     def step_fn(state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
         b = batch['img_x'].shape[0]
+
+        if on_device_aug:
+            from semivl_tpu.ops.augment import (
+                normalize_imagenet, strong_augment)
+            raw = batch['img_raw']
+            raw_o = batch['img_raw_other']
+            ar = jax.random.split(jax.random.fold_in(rng, 7), 4)
+            batch = dict(batch)
+            batch['img_w'] = normalize_imagenet(raw)
+            batch['img_w_other'] = normalize_imagenet(raw_o)
+            batch['img_s1'] = strong_augment(ar[0], raw)
+            batch['img_s2'] = strong_augment(ar[1], raw)
+            batch['img_s1_other'] = strong_augment(ar[2], raw_o)
+            batch['img_s2_other'] = strong_augment(ar[3], raw_o)
 
         # on-device CutMix of the strong views (semivl.py:224-225)
         img_s1 = cutmix_image(batch['img_s1'], batch['img_s1_other'],
@@ -233,9 +258,12 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params['params'])
         new_inner = optax.apply_updates(state.params['params'], updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = _ema_update(ema, new_inner, cfg.get('ema_decay', 0.999))
         new_state = TrainState(
             params={**state.params, **new_colls, 'params': new_inner},
-            opt_state=new_opt_state, step=state.step + 1)
+            opt_state=new_opt_state, step=state.step + 1, ema_params=ema)
         return new_state, metrics
 
     batch_keys_sharded = P('data')

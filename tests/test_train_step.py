@@ -158,6 +158,43 @@ def test_supervised_step(mesh, rng):
     assert int(new_state.step) == 1
 
 
+def test_on_device_aug_and_ema_step(mesh, setup, rng):
+    """semivl step with on-device strong augs and an EMA teacher."""
+    bundle, cfg, tx, mask, state = setup
+    cfg = dict(cfg)
+    cfg['strong_aug_on_device'] = True
+    cfg['ema_decay'] = 0.99
+    state = TrainState(params=state.params, opt_state=state.opt_state,
+                       step=state.step,
+                       ema_params=jax.tree.map(jnp.array,
+                                               state.params['params']))
+    step_fn = make_semivl_train_step(
+        bundle, cfg, tx, mesh, total_iters=100, trainable_mask=mask)
+
+    raw = rng.rand(WORLD, IMG, IMG, 3).astype(np.float32)
+    ign = np.zeros((WORLD, IMG, IMG), np.int32)
+    boxes = np.zeros((WORLD, IMG, IMG), np.float32)
+    boxes[:, 10:30, 5:40] = 1
+    batch = shard_batch(dict(
+        img_x=rng.randn(WORLD, IMG, IMG, 3).astype(np.float32),
+        mask_x=rng.randint(0, NCLS, (WORLD, IMG, IMG)).astype(np.int32),
+        img_raw=raw, img_raw_other=rng.rand(WORLD, IMG, IMG, 3)
+        .astype(np.float32),
+        ignore_mask=ign, ignore_mask_other=ign,
+        cutmix_box1=boxes, cutmix_box2=boxes), mesh)
+    old_ema = np.asarray(
+        state.ema_params['decode_head']['conv1']['kernel'])
+    new_state, metrics = step_fn(replicate(state, mesh), batch,
+                                 replicate(jax.random.PRNGKey(0), mesh))
+    assert np.isfinite(np.asarray(metrics['loss_all']))
+    new_ema = np.asarray(jax.device_get(
+        new_state.ema_params['decode_head']['conv1']['kernel']))
+    new_param = np.asarray(jax.device_get(
+        new_state.params['params']['decode_head']['conv1']['kernel']))
+    assert np.abs(new_ema - old_ema).max() > 0          # EMA moved
+    assert np.abs(new_ema - new_param).max() > 1e-9     # but lags params
+
+
 def test_poly_schedule():
     sched = make_poly_schedule(1e-4, max_iters=100, warmup_iters=10,
                                warmup_ratio=1e-6)
