@@ -43,14 +43,22 @@ def _bucket(n, buckets=(1, 2, 4, 8, 16, 32)):
 
 
 class Evaluator:
-    """Holds the jitted forward(s) and implements the predict modes."""
+    """Holds the jitted forward(s) and implements the predict modes.
 
-    def __init__(self, module, params, text_feats, cfg):
+    With a ``mesh``, crop batches are sharded over the data axis so all
+    chips cooperate on one image's windows (the reference instead shards val
+    *images* across ranks, supervised.py:176-178 — windows parallelise
+    better at batch_size 1).
+    """
+
+    def __init__(self, module, params, text_feats, cfg, mesh=None):
         self.module = module
         self.params = params
         self.text = jnp.asarray(text_feats)
         self.cfg = cfg
         self.nclass = cfg['nclass']
+        self.mesh = mesh
+        self.world = int(mesh.devices.size) if mesh is not None else 1
         self._jit_cache = {}
 
     def update_params(self, params):
@@ -60,6 +68,7 @@ class Evaluator:
         """Run the model on a (n, h, w, 3) numpy crop batch -> (n, C, h, w)."""
         shape = imgs.shape
         n = _bucket(shape[0])
+        n = -(-n // self.world) * self.world  # multiple of mesh size
         if n != shape[0]:
             pad = np.zeros((n - shape[0],) + shape[1:], imgs.dtype)
             batch = np.concatenate([imgs, pad])
@@ -67,9 +76,18 @@ class Evaluator:
             batch = imgs
         key = (n,) + shape[1:]
         if key not in self._jit_cache:
-            def fwd(params, x, text):
-                return self.module.apply(params, x, text)
-            self._jit_cache[key] = jax.jit(fwd)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                data_sharding = NamedSharding(self.mesh, P('data'))
+
+                def fwd(params, x, text):
+                    return self.module.apply(params, x, text)
+                self._jit_cache[key] = jax.jit(
+                    fwd, in_shardings=(None, data_sharding, None))
+            else:
+                def fwd(params, x, text):
+                    return self.module.apply(params, x, text)
+                self._jit_cache[key] = jax.jit(fwd)
         logits = self._jit_cache[key](self.params, jnp.asarray(batch),
                                       self.text)
         return np.asarray(logits[:shape[0]], np.float32)

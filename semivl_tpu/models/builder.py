@@ -36,6 +36,7 @@ def build_backbone(cfg, dtype):
             patch_bias=cfg.get('patch_bias', False),
             clip_dim=cfg.get('clip_dim', 512),
             norm_eps=cfg.get('norm_eps', 1e-6),
+            remat=cfg.get('with_cp', False),
             dtype=dtype)
     if kind == 'ResNetV1c':
         from semivl_tpu.models.resnet import ResNetV1c
@@ -198,6 +199,8 @@ def build_model(cfg, dtype=jnp.float32):
     # Dead reference options asserted off (reference vlm.py:43-44).
     assert model_args.get('maskclip_class_filter') is None
     renorm = bool(model_args.get('renorm_clip_img', False))
+    if model_args.get('with_cp') or cfg.get('with_cp'):
+        model['backbone']['with_cp'] = True
 
     module = VLM(
         backbone_cfg=model['backbone'],

@@ -48,6 +48,10 @@ class MaskClipViT(nn.Module):
     patch_bias: bool = False
     clip_dim: int = 512
     norm_eps: float = 1e-6
+    # rematerialise transformer blocks in backward (mmseg 'with_cp'):
+    # trades recompute for activation memory (SURVEY.md §7 hard parts —
+    # the 4-forwards-per-step live set)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _out_indices(self):
@@ -108,6 +112,8 @@ class MaskClipViT(nn.Module):
         def to_grid(tokens):
             return tokens[:, 1:].reshape(b, gh, gw, tokens.shape[-1])
 
+        block_cls = (nn.remat(TransformerBlock, static_argnums=(2,))
+                     if self.remat else TransformerBlock)
         feats = []
         clip_embed = None
         global_emb = None
@@ -115,10 +121,10 @@ class MaskClipViT(nn.Module):
             last = i == self.num_layers - 1
             need_v = self.return_qkv and (i in out_indices
                                           or (last and self.return_clip_embed))
-            x, v = TransformerBlock(
+            x, v = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 norm_eps=self.norm_eps, dtype=self.dtype,
-                name=f'layers_{i}')(x, return_v=need_v)
+                name=f'layers_{i}')(x, need_v)
             if last and self.final_norm:
                 x = final_ln(x)
                 if v is not None:

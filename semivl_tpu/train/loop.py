@@ -168,7 +168,8 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                     previous_best)
 
     state = replicate(state, mesh)
-    evaluator = Evaluator(bundle.module, None, bundle.text_feats, cfg)
+    evaluator = Evaluator(bundle.module, None, bundle.text_feats, cfg,
+                          mesh=mesh)
     rng = jax.random.PRNGKey(seed + 1234)
 
     log_avg = DictAverageMeter()
