@@ -53,6 +53,11 @@ class SemiDataset:
             'labeled_photometric_distortion', False)
         # strong photometric augs on device (ops/augment.py) instead of PIL
         self.strong_aug_on_device = cfg.get('strong_aug_on_device', False)
+        # native (libjpeg/libpng) decode path, PIL fallback
+        self.native_decode = cfg.get('native_decode', False)
+        if self.native_decode:
+            from semivl_tpu.native import native_available
+            self.native_decode = native_available()
         self.seed = seed
 
         if mode in ('train_l', 'train_u'):
@@ -75,8 +80,15 @@ class SemiDataset:
     def _load(self, item):
         sample_id = self.ids[item]
         img_rel, mask_rel = sample_id.split(' ')
-        img = Image.open(os.path.join(self.root, img_rel)).convert('RGB')
-        mask = np.array(Image.open(os.path.join(self.root, mask_rel)))
+        if self.native_decode:
+            from semivl_tpu.native import decode_image
+            with open(os.path.join(self.root, img_rel), 'rb') as f:
+                img = Image.fromarray(decode_image(f.read(), channels=3))
+            with open(os.path.join(self.root, mask_rel), 'rb') as f:
+                mask = decode_image(f.read(), channels=1)
+        else:
+            img = Image.open(os.path.join(self.root, img_rel)).convert('RGB')
+            mask = np.array(Image.open(os.path.join(self.root, mask_rel)))
         if self.reduce_zero_label:  # ADE remap (semi.py:46-51)
             mask = mask.astype(np.int16)
             mask[mask == 0] = 256
