@@ -79,18 +79,22 @@ class DeepLabV3Plus(nn.Module):
         if need_fp or only_fp:
             rng = self.make_rng('fp')
             r1, r2 = jax.random.split(rng)
-            c1_p = dropout2d(r1, c1, self.fp_rate)
-            c4_p = dropout2d(r2, c4, self.fp_rate)
             if only_fp:
-                out = self._decode(c1_p, c4_p, train)
+                out = self._decode(dropout2d(r1, c1, self.fp_rate),
+                                   dropout2d(r2, c4, self.fp_rate), train)
                 out = resize(out.astype(jnp.float32), (h, w),
                              mode='bilinear', align_corners=True)
                 return out.transpose(0, 3, 1, 2)
+            # fp decoded for the w-half only (see VLM.__call__ rationale)
+            b = img.shape[0]
+            half = b // 2
+            c1_p = dropout2d(r1, c1[half:], self.fp_rate)
+            c4_p = dropout2d(r2, c4[half:], self.fp_rate)
             outs = self._decode(jnp.concatenate([c1, c1_p]),
                                 jnp.concatenate([c4, c4_p]), train)
             outs = resize(outs.astype(jnp.float32), (h, w), mode='bilinear',
                           align_corners=True).transpose(0, 3, 1, 2)
-            return jnp.split(outs, 2, axis=0)
+            return outs[:b], outs[b:]
 
         out = self._decode(c1, c4, train)
         out = resize(out.astype(jnp.float32), (h, w), mode='bilinear',

@@ -81,42 +81,56 @@ class VLM(nn.Module):
                  train=False):
         """Segmentation logits at input resolution (B, C, H, W).
 
-        ``need_fp``: returns (preds, preds_fp), each over the input batch
-        (reference builder.py:79-99). FP uses the 'fp' PRNG collection.
+        ``need_fp``: input batch is ``[x-half, w-half]``; returns
+        ``(preds, preds_fp_w)`` where ``preds`` covers the full batch and
+        ``preds_fp_w`` only the w-half under feature perturbation. The
+        reference perturbs the WHOLE batch and discards the x-half fp output
+        (builder.py:81-99 vs semivl.py:245-247) — computing only the
+        consumed half saves 1/4 of the decoder pass with identical math
+        (per-sample channel dropout; GroupNorm/LN are per-sample).
+        FP uses the 'fp' PRNG collection.
         """
         h, w = img.shape[1:3]
         feats, global_emb, conv_feats = self.extract_feat(img, train=train)
 
-        if only_fp or need_fp:
+        if only_fp:
             rng = self.make_rng('fp')
             rngs = jax.random.split(rng, len(feats) + (
                 len(conv_feats) if conv_feats else 0))
-            perturbed = tuple(
-                dropout2d(rngs[i], f, self.fp_rate)
-                for i, f in enumerate(feats))
-            conv_perturbed = None
+            feats = tuple(dropout2d(rngs[i], f, self.fp_rate)
+                          for i, f in enumerate(feats))
             if conv_feats:
-                conv_perturbed = [
+                conv_feats = [
                     dropout2d(rngs[len(feats) + i], f, self.fp_rate)
                     for i, f in enumerate(conv_feats)]
-            if only_fp:
-                feats, conv_feats = perturbed, conv_perturbed
-            else:
-                feats = tuple(jnp.concatenate([f, p])
-                              for f, p in zip(feats, perturbed))
-                if conv_feats:
-                    conv_feats = [jnp.concatenate([f, p]) for f, p in
-                                  zip(conv_feats, conv_perturbed)]
-                if global_emb is not None:
-                    # reference duplicates the global embedding for the fp
-                    # half (builder.py:82)
-                    global_emb = jnp.concatenate([global_emb, global_emb])
+        elif need_fp:
+            rng = self.make_rng('fp')
+            rngs = jax.random.split(rng, len(feats) + (
+                len(conv_feats) if conv_feats else 0))
+            b = img.shape[0]
+            half = b // 2
+            perturbed_w = tuple(
+                dropout2d(rngs[i], f[half:], self.fp_rate)
+                for i, f in enumerate(feats))
+            feats = tuple(jnp.concatenate([f, p])
+                          for f, p in zip(feats, perturbed_w))
+            if conv_feats:
+                conv_feats = [
+                    jnp.concatenate(
+                        [f, dropout2d(rngs[len(feats) + i], f[half:],
+                                      self.fp_rate)])
+                    for i, f in enumerate(conv_feats)]
+            if global_emb is not None:
+                # reference duplicates the global embedding for the fp half
+                # (builder.py:82)
+                global_emb = jnp.concatenate([global_emb, global_emb[half:]])
 
         logits = self.decode_head(feats, text_feats, conv_feats,
                                   output_size=(h, w), train=train,
                                   global_emb=global_emb)
         if need_fp:
-            return jnp.split(logits, 2, axis=0)
+            b = img.shape[0]
+            return logits[:b], logits[b:]
         return logits
 
     def init_variables(self, img, text_feats, mcc_text_feats=None):

@@ -116,6 +116,42 @@ def convert_vlg_head(flat, prefix='decode_head.', num_layers=2,
     return p
 
 
+def _conv_bn(flat, conv_key, bn_key):
+    """(params, batch_stats) for a Conv+BN pair."""
+    params = {'conv': _conv(flat, conv_key),
+              'bn': {'scale': _t(flat[bn_key + '.weight']),
+                     'bias': _t(flat[bn_key + '.bias'])}}
+    stats = {'bn': {'mean': _t(flat[bn_key + '.running_mean']),
+                    'var': _t(flat[bn_key + '.running_var'])}}
+    return params, stats
+
+
+def convert_resnet_v1c(flat, prefix='conv_encoder.', num_stages=1,
+                       blocks=(3, 4, 23, 3)):
+    """mmseg ResNetV1c state dict -> (params, batch_stats) trees
+    (the VLG conv_encoder of the Cityscapes models, skr04)."""
+    params, stats = {}, {}
+    stem_keys = [('stem1', 'stem.0', 'stem.1'), ('stem2', 'stem.3', 'stem.4'),
+                 ('stem3', 'stem.6', 'stem.7')]
+    for name, ck, bk in stem_keys:
+        p, s = _conv_bn(flat, prefix + ck, prefix + bk)
+        params[name], stats[name] = p, s
+    for stage in range(num_stages):
+        for b in range(blocks[stage]):
+            bp = f'{prefix}layer{stage + 1}.{b}.'
+            blk_p, blk_s = {}, {}
+            for i in (1, 2, 3):
+                p, s = _conv_bn(flat, bp + f'conv{i}', bp + f'bn{i}')
+                blk_p[f'conv{i}'], blk_s[f'conv{i}'] = p, s
+            if bp + 'downsample.0.weight' in flat:
+                p, s = _conv_bn(flat, bp + 'downsample.0',
+                                bp + 'downsample.1')
+                blk_p['downsample'], blk_s['downsample'] = p, s
+            params[f'layer{stage + 1}_{b}'] = blk_p
+            stats[f'layer{stage + 1}_{b}'] = blk_s
+    return params, stats
+
+
 def load_reference_checkpoint(path, ema=False):
     """torch best.pth -> flat numpy state dict (module. stripped,
     clip_encoder dropped)."""
@@ -133,15 +169,24 @@ def load_reference_checkpoint(path, ema=False):
 
 
 def convert_vlm_checkpoint(flat, num_layers=12, vlg_layers=2, num_skips=2):
-    """Flat reference VLM state dict -> {'params': ...} variables."""
+    """Flat reference VLM state dict -> variables ({'params', maybe
+    'batch_stats'})."""
     params = {'backbone': convert_maskclip_vit(flat, 'backbone.', num_layers)}
+    stats = {}
     if any(k.startswith('decode_head.conv1') for k in flat):
         params['decode_head'] = convert_vlg_head(
             flat, 'decode_head.', vlg_layers, num_skips)
     else:
         raise NotImplementedError(
             'only VLG decode heads are auto-converted so far')
-    return {'params': params}
+    if any(k.startswith('conv_encoder.') for k in flat):
+        p, s = convert_resnet_v1c(flat)
+        params['conv_encoder'] = p
+        stats['conv_encoder'] = s
+    out = {'params': params}
+    if stats:
+        out['batch_stats'] = stats
+    return out
 
 
 def main():

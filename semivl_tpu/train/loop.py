@@ -11,6 +11,7 @@ import math
 import os
 import pprint
 import shutil
+import signal
 import time
 import uuid
 from datetime import datetime
@@ -24,6 +25,7 @@ from jax.sharding import Mesh
 from semivl_tpu.data.dataset import SemiDataset, split_path
 from semivl_tpu.data.loader import ShardedLoader
 from semivl_tpu.datasets.classes import CLASSES
+from semivl_tpu.datasets.palettes import get_palette
 from semivl_tpu.evaluation.predict import Evaluator, evaluate
 from semivl_tpu.models.builder import build_model
 from semivl_tpu.train.checkpoint import CheckpointManager
@@ -172,6 +174,22 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                           mesh=mesh)
     rng = jax.random.PRNGKey(seed + 1234)
 
+    # Preemption safety (the reference loses the run on any interruption —
+    # SURVEY.md §5): SIGTERM/SIGINT request a 'latest' checkpoint at the
+    # next step boundary, then exit cleanly; resume picks it up.
+    preempted = {'flag': False}
+
+    def _on_signal(signum, frame):
+        del frame
+        preempted['flag'] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not the main thread
+
     log_avg = DictAverageMeter()
     done = False
     for epoch in range(start_epoch, cfg['epochs']):
@@ -216,6 +234,41 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 for k, v in log_avg.avgs.items():
                     writer.add_scalar(k, v, iters)
                 log_avg.reset()
+
+            # per-epoch debug grid (reference semivl.py:371-406); one extra
+            # forward on the first labeled sample of the epoch
+            if i == 0 and cfg.get('debug_images', True) \
+                    and method in ('semivl', 'unimatch'):
+                try:
+                    from semivl_tpu.utils.plotting import save_debug_grid
+                    params_host = jax.device_get(state.params)
+                    img0 = np.asarray(bl['img'][:1])
+                    pred = bundle.module.apply(
+                        params_host, jnp.asarray(img0),
+                        jnp.asarray(bundle.text_feats))
+                    palette = get_palette(cfg['dataset'])
+                    save_debug_grid(
+                        os.path.join(save_path, 'debug',
+                                     f'{iters:07d}.png'),
+                        [('Image L', img0[0], 'image', None),
+                         ('Pred L', np.asarray(pred)[0], 'prediction',
+                          palette),
+                         ('GT L', np.asarray(bl['mask'][0]), 'label',
+                          palette)],
+                        rows=1, cols=3)
+                except Exception as exc:
+                    logger.warning('debug images failed: %s', exc)
+            if preempted['flag']:
+                host_state = jax.device_get(state)
+                ckpt.save('latest', host_state,
+                          extra={'epoch': epoch - 1,
+                                 'previous_best': previous_best})
+                logger.info('Preemption signal: saved latest checkpoint at '
+                            'step %d, exiting.', int(state.step))
+                writer.close()
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
+                return previous_best, save_path
             if int(state.step) >= total_iters:
                 done = True
                 break

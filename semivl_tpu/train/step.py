@@ -198,7 +198,7 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             else:
                 preds, preds_fp = out
             pred_x, pred_w = preds[:b], preds[b:]
-            pred_w_fp = preds_fp[b:]
+            pred_w_fp = preds_fp  # fp computed for the w-half only
 
             out = module.apply(
                 params, jnp.concatenate([img_s1, img_s2]), text, train=True,

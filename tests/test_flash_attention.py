@@ -57,3 +57,21 @@ def test_dispatch_switch(rng):
         attn_mod.set_default_impl('xla')
     np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_p),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_lora_adapter_starts_as_identity(rng):
+    """LoRA B is zero-init: output must equal plain attention at init."""
+    import flax.linen as nn_
+    from semivl_tpu.models.layers import Attention
+    x = jnp.asarray(rng.randn(1, 8, 16), jnp.float32)
+    plain = Attention(num_heads=4)
+    lora = Attention(num_heads=4, lora_rank=2)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    vl = lora.init(jax.random.PRNGKey(0), x)
+    # copy shared params
+    for k in ('in_proj', 'out_proj'):
+        vl['params'][k] = vp['params'][k]
+    np.testing.assert_allclose(
+        np.asarray(lora.apply(vl, x)), np.asarray(plain.apply(vp, x)),
+        atol=1e-6)
+    assert 'lora_q' in vl['params'] and 'lora_o' in vl['params']

@@ -50,7 +50,9 @@ def test_forward_shapes(bundle_and_params):
     preds, preds_fp = bundle.module.apply(
         params, img, text, need_fp=True,
         rngs={'fp': jax.random.PRNGKey(2)})
-    assert preds.shape == preds_fp.shape == (2, 21, 64, 64)
+    assert preds.shape == (2, 21, 64, 64)
+    # fp output covers the w-half (second half) only
+    assert preds_fp.shape == (1, 21, 64, 64)
     # clean half must equal the plain forward
     np.testing.assert_allclose(np.asarray(preds), np.asarray(logits),
                                rtol=2e-3, atol=2e-3)
