@@ -12,7 +12,6 @@ device compute.
 """
 
 import math
-import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
@@ -35,14 +34,19 @@ def epoch_permutation(n, epoch, world, seed=0, shuffle=True):
 
 class ShardedLoader:
     def __init__(self, dataset, batch_size, world, shuffle=True, seed=0,
-                 pair=False, num_threads=4):
+                 pair=False, num_threads=4, process_index=0,
+                 process_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.world = world
+        self.world = world  # TOTAL ranks across all hosts
         self.shuffle = shuffle
         self.seed = seed
         self.pair = pair  # unlabeled: fetch two augmented views per sample
         self.num_threads = num_threads
+        # multi-host: this host materialises only its local ranks' samples
+        assert world % process_count == 0, (world, process_count)
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         per_rank = int(math.ceil(len(self.dataset) / self.world))
@@ -59,10 +63,13 @@ class ShardedLoader:
         per_rank_idx = epoch_permutation(
             len(self.dataset), epoch, self.world, self.seed, self.shuffle)
         steps = len(self)
-        # global batch s = concat over ranks of their s-th batch
+        local = self.world // self.process_count
+        rank_lo = self.process_index * local
+        # host batch s = concat over THIS host's ranks of their s-th batch
         batches = [
             [per_rank_idx[r, s * self.batch_size + j]
-             for r in range(self.world) for j in range(self.batch_size)]
+             for r in range(rank_lo, rank_lo + local)
+             for j in range(self.batch_size)]
             for s in range(steps)
         ]
 

@@ -14,7 +14,6 @@ The final bilinear resize to label size uses align_corners=True, matching
 mmseg.ops.resize in the reference (supervised.py:95-100).
 """
 
-import functools
 import math
 
 import jax

@@ -11,7 +11,7 @@ Returns final-layer mask logits at image size as (B, C, H, W) plus the
 per-layer mask stack for the deep-supervision loss (SegLossPlus).
 """
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

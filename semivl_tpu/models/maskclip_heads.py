@@ -14,7 +14,7 @@ classify dense CLIP features with text embeddings:
   (maskclip_head.py:71-155).
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

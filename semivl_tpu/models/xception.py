@@ -8,7 +8,7 @@ its second separable conv); fixed BN momentum 0.0003 (xception.py:5).
 ``base_forward`` -> (c1 [256ch, stride 4], c4 [2048ch, os 16]).
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ flash-attention kernel (semivl_tpu.ops.flash_attention) without touching
 model code.
 """
 
-import functools
 
 import jax.numpy as jnp
 

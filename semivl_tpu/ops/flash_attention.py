@@ -12,10 +12,14 @@ Grid: (batch*heads, q_blocks). Per program: (BQ, D) @ (D, L_pad) on the MXU,
 masked fp32 softmax on the VPU, (BQ, L_pad) @ (L_pad, D) back on the MXU.
 VMEM high-water ~ BQ*L_pad*4B (1.4 MB at L=2704, BQ=128).
 
-Backward currently recomputes attention through the XLA formulation via
-``jax.custom_vjp`` (correct, memory paid only in backward); a Pallas
-backward kernel is the follow-up optimisation.
+Backward is also a fused Pallas kernel: probabilities are recomputed from
+q/k/v in VMEM per q-block (flash-style), then dq, and dk/dv via the
+transposed contractions — the (L, L) probability/gradient matrices never
+reach HBM in either direction. Set ``SEMIVL_FLASH_BWD=xla`` to fall back to
+the XLA-recompute VJP.
 """
+
+import os
 
 import functools
 
@@ -91,16 +95,94 @@ def _fused_attention_fwd_impl(qh, kh, vh, interpret):
     return out[:, :seq_len]
 
 
+def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, bq):
+    """Grid: (bh,). Whole-sequence backward per (batch, head):
+
+    recompute p = softmax(q k^T) block-row by block-row; with
+    dp = g v^T and the softmax jacobian
+    ds = p * (dp - rowsum(g * o)), accumulate
+      dq += ds k * scale ; dk += ds^T q * scale ; dv += p^T g.
+    L_pad <= 2704: k/v/g and the fp32 accumulators fit in VMEM.
+    """
+    seq = len_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    l_pad, d = k.shape
+    dk_acc0 = jnp.zeros((l_pad, d), jnp.float32)
+    dv_acc0 = jnp.zeros((l_pad, d), jnp.float32)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * bq, bq), :]
+        g = g_ref[0, pl.ds(i * bq, bq), :]
+        o = o_ref[0, pl.ds(i * bq, bq), :]
+        qs = q * jnp.asarray(scale, q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kidx < seq, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)          # (BQ, L)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = p * (dp - delta)                                # (BQ, L) fp32
+        ds_c = ds.astype(k.dtype)
+        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+        dq_ref[0, pl.ds(i * bq, bq), :] = dq.astype(dq_ref.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    dk_acc, dv_acc = jax.lax.fori_loop(0, l_pad // bq, body,
+                                       (dk_acc0, dv_acc0))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret):
+    bh, seq_len, d = qh.shape
+    l_pad = _round_up(seq_len, _BQ)
+    if l_pad != seq_len:
+        pad = ((0, 0), (0, l_pad - seq_len), (0, 0))
+        qh, kh, vh = (jnp.pad(x, pad) for x in (qh, kh, vh))
+        out, g = (jnp.pad(x, pad) for x in (out, g))
+    scale = d ** -0.5
+    lengths = jnp.full((1,), seq_len, jnp.int32)
+    full = pl.BlockSpec((1, l_pad, d), lambda b, *_: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[full] * 5,
+        out_specs=[full] * 3,
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, bq=_BQ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, l_pad, d), qh.dtype)] * 3,
+        interpret=interpret,
+    )(lengths, qh, kh, vh, out, g)
+    return (dq[:, :seq_len], dk[:, :seq_len], dv[:, :seq_len])
+
+
 def _fused_attention_fwd(qh, kh, vh, interpret):
     out = _fused_attention_fwd_impl(qh, kh, vh, interpret)
-    return out, (qh, kh, vh)
+    return out, (qh, kh, vh, out)
 
 
 def _fused_attention_bwd(interpret, residuals, g):
-    del interpret
-    qh, kh, vh = residuals
-    _, vjp = jax.vjp(_attend_heads, qh, kh, vh)
-    return vjp(g)
+    qh, kh, vh, out = residuals
+    if os.environ.get('SEMIVL_FLASH_BWD') == 'xla':
+        _, vjp = jax.vjp(_attend_heads, qh, kh, vh)
+        return vjp(g)
+    return _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret)
 
 
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

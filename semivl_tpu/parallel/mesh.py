@@ -1,0 +1,66 @@
+"""Device-mesh + multi-host utilities.
+
+The reference's multi-node story is nominal (``n_nodes`` is configurable but
+every experiment uses 1 and the launcher is single-node —
+SURVEY.md §2.2). Here multi-host is first-class: the ``data`` mesh spans all
+processes' devices (ICI within a slice, DCN across hosts), each host feeds
+its local shard, and the SPMD step is unchanged — collectives come from the
+same ``lax.pmean``.
+
+Single-process remains the default; ``setup_multihost`` activates
+``jax.distributed`` from standard env vars.
+"""
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def setup_multihost():
+    """Initialise jax.distributed from env (no-op if single process).
+
+    Env: SEMIVL_COORDINATOR (host:port), SEMIVL_NUM_PROCESSES,
+    SEMIVL_PROCESS_ID — or the standard JAX_COORDINATOR_ADDRESS set.
+    Returns (process_index, process_count).
+    """
+    coord = os.environ.get('SEMIVL_COORDINATOR') \
+        or os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if coord and jax.process_count() == 1 \
+            and os.environ.get('SEMIVL_NUM_PROCESSES'):
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ['SEMIVL_NUM_PROCESSES']),
+            process_id=int(os.environ['SEMIVL_PROCESS_ID']))
+    return jax.process_index(), jax.process_count()
+
+
+def make_data_mesh(max_devices=None):
+    """1-D ``data`` mesh over ALL processes' devices."""
+    devices = jax.devices()
+    if max_devices:
+        devices = devices[:max_devices]
+    return Mesh(np.array(devices), ('data',))
+
+
+def global_batch_to_device(batch, mesh):
+    """Host batch -> global sharded arrays on the mesh's data axis.
+
+    Single-process: plain sharded device_put. Multi-process: each host
+    passes its LOCAL portion (global_batch/process_count samples) and the
+    runtime assembles the global array
+    (``jax.make_array_from_process_local_data``).
+    """
+    sharding = NamedSharding(mesh, P('data'))
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()
+                if not isinstance(v, list)}
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, list):
+            continue
+        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.asarray(v), global_shape)
+    return out

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from semivl_tpu.models.layers import Attention, LayerNorm, Mlp, quick_gelu
+from semivl_tpu.models.layers import LayerNorm, Mlp, quick_gelu
 
 
 class CLIPTextTransformer(nn.Module):

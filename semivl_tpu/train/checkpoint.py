@@ -8,9 +8,8 @@ The reference only saves ``best.pth`` (model+optimizer+epoch, semivl.py:
 """
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

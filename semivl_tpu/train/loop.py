@@ -10,7 +10,6 @@ fused jitted step; eval runs the bucketed sliding-window path; checkpoints
 import math
 import os
 import pprint
-import shutil
 import signal
 import time
 import uuid
@@ -35,7 +34,6 @@ from semivl_tpu.train.step import (
     make_semivl_train_step,
     make_supervised_train_step,
     replicate,
-    shard_batch,
 )
 from semivl_tpu.utils.logging_utils import (
     DictAverageMeter,
@@ -51,6 +49,16 @@ def make_mesh(cfg):
     want = cfg.get('n_gpus', 1) * cfg.get('n_nodes', 1)
     n = min(len(devices), want) if cfg.get('respect_n_gpus') else len(devices)
     return Mesh(np.array(devices[:n]), ('data',))
+
+
+def _maybe_multihost(logger):
+    from semivl_tpu.parallel.mesh import setup_multihost
+    pidx, pcount = setup_multihost()
+    if pcount > 1:
+        logger.info('Multi-host: process %d/%d, %d local of %d global '
+                    'devices', pidx, pcount, jax.local_device_count(),
+                    jax.device_count())
+    return pidx, pcount
 
 
 def setup_run_dir(cfg, args_dict, logger):
@@ -113,8 +121,10 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
         from semivl_tpu.ops.attention import set_default_impl
         set_default_impl(cfg['attention_impl'])
     method = cfg.get('method', 'semivl')
+    pidx, pcount = _maybe_multihost(logger)
+    is_main = pidx == 0
     run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger)
-    writer = MetricWriter(save_path)
+    writer = MetricWriter(save_path) if is_main else None
     mesh = make_mesh(cfg)
     world = mesh.devices.size
     logger.info('Data mesh: %d device(s): %s', world, mesh.devices.ravel())
@@ -134,8 +144,10 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
     valset = SemiDataset(cfg, 'val', id_path=val_id_path)
 
     bs = cfg['batch_size']
-    loader_l = ShardedLoader(trainset_l, bs, world, seed=seed)
-    loader_u = ShardedLoader(trainset_u, bs, world, seed=seed, pair=True)
+    loader_l = ShardedLoader(trainset_l, bs, world, seed=seed,
+                             process_index=pidx, process_count=pcount)
+    loader_u = ShardedLoader(trainset_u, bs, world, seed=seed, pair=True,
+                             process_index=pidx, process_count=pcount)
     steps_per_epoch = (len(loader_u) if method in ('semivl', 'unimatch')
                        else len(loader_l))
 
@@ -219,7 +231,8 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 }
             else:
                 device_batch = batch
-            device_batch = shard_batch(device_batch, mesh)
+            from semivl_tpu.parallel.mesh import global_batch_to_device
+            device_batch = global_batch_to_device(device_batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, device_batch,
                                      replicate(step_rng, mesh))
@@ -231,8 +244,9 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
             if i % 100 == 0:
                 logger.info('Iters: %d %s', i, str(log_avg))
-                for k, v in log_avg.avgs.items():
-                    writer.add_scalar(k, v, iters)
+                if writer is not None:
+                    for k, v in log_avg.avgs.items():
+                        writer.add_scalar(k, v, iters)
                 log_avg.reset()
 
             # per-epoch debug grid (reference semivl.py:371-406); one extra
@@ -258,14 +272,15 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                         rows=1, cols=3)
                 except Exception as exc:
                     logger.warning('debug images failed: %s', exc)
-            if preempted['flag']:
+            if preempted['flag'] and is_main:
                 host_state = jax.device_get(state)
                 ckpt.save('latest', host_state,
                           extra={'epoch': epoch - 1,
                                  'previous_best': previous_best})
                 logger.info('Preemption signal: saved latest checkpoint at '
                             'step %d, exiting.', int(state.step))
-                writer.close()
+                if writer is not None:
+                    writer.close()
                 for sig, h in prev_handlers.items():
                     signal.signal(sig, h)
                 return previous_best, save_path
@@ -285,20 +300,25 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                             CLASSES[cfg['dataset']][cls_idx], iou)
             logger.info('***** Evaluation %s ***** >>>> MeanIoU: %.2f\n',
                         eval_mode, miou)
-            writer.add_scalar('eval/mIoU', miou, epoch)
-            for idx, iou in enumerate(iou_class):
-                writer.add_scalar(
-                    f'eval/{CLASSES[cfg["dataset"]][idx]}_IoU', iou, epoch)
+            if writer is not None:
+                writer.add_scalar('eval/mIoU', miou, epoch)
+                for idx, iou in enumerate(iou_class):
+                    writer.add_scalar(
+                        f'eval/{CLASSES[cfg["dataset"]][idx]}_IoU', iou,
+                        epoch)
 
             is_best = miou > previous_best
             previous_best = max(miou, previous_best)
-            host_state = jax.device_get(state)
-            ckpt.save('latest', host_state,
-                      extra={'epoch': epoch, 'previous_best': previous_best})
-            if is_best:
-                ckpt.save('best', host_state,
+            if is_main:
+                host_state = jax.device_get(state)
+                ckpt.save('latest', host_state,
                           extra={'epoch': epoch,
                                  'previous_best': previous_best})
+                if is_best:
+                    ckpt.save('best', host_state,
+                              extra={'epoch': epoch,
+                                     'previous_best': previous_best})
 
-    writer.close()
+    if writer is not None:
+        writer.close()
     return previous_best, save_path

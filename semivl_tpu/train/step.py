@@ -12,8 +12,7 @@ normalises by its own valid-pixel counts, then grads are ``pmean``-ed
 (SURVEY.md §2.6).
 """
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -93,6 +93,9 @@ def synth_batch(rng, b):
 
 def test_semivl_step(mesh, setup, rng):
     bundle, cfg, tx, mask, state = setup
+    # the step donates its input state; tests share the fixture, so step on
+    # a private copy
+    state = jax.tree.map(jnp.array, state)
     # params in optimizer-facing layout: state.params has {'params': ...}
     step_fn = make_semivl_train_step(
         bundle, cfg, tx, mesh, total_iters=100, trainable_mask=mask)
@@ -161,6 +164,7 @@ def test_supervised_step(mesh, rng):
 def test_on_device_aug_and_ema_step(mesh, setup, rng):
     """semivl step with on-device strong augs and an EMA teacher."""
     bundle, cfg, tx, mask, state = setup
+    state = jax.tree.map(jnp.array, state)  # see donation note above
     cfg = dict(cfg)
     cfg['strong_aug_on_device'] = True
     cfg['ema_decay'] = 0.99
