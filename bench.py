@@ -29,6 +29,9 @@ def main():
     parser.add_argument('--dtype', default='bfloat16')
     parser.add_argument('--attention', default='pallas',
                         choices=['xla', 'pallas'])
+    parser.add_argument('--mode', default='train', choices=['train', 'eval'],
+                        help="'eval' benchmarks zegclip sliding-window "
+                             'inference FPS instead of the train step')
     args = parser.parse_args()
 
     from semivl_tpu.ops.attention import set_default_impl
@@ -62,6 +65,10 @@ def main():
     cfg = _flagship_cfg(crop_size=crop)
     cfg['batch_size'] = args.batch_size
     bundle = build_model(cfg, dtype=jnp.dtype(args.dtype))
+
+    if args.mode == 'eval':
+        _bench_eval(args, cfg, bundle)
+        return
     devices = jax.devices()
     mesh = Mesh(np.array(devices), ('data',))
     n_chips = len(devices)
@@ -116,6 +123,40 @@ def main():
         'value': round(imgs_per_sec_per_chip, 3),
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(imgs_per_sec_per_chip / 1.0, 3),
+    }))
+
+
+def _bench_eval(args, cfg, bundle):
+    """zegclip sliding-window eval FPS on synthetic VOC-sized val images."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jax.sharding import Mesh
+    from semivl_tpu.evaluation.predict import Evaluator
+
+    mesh = Mesh(np.array(jax.devices()), ('data',))
+    variables = bundle.module.init(
+        {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
+        jnp.zeros((1, args.crop, args.crop, 3)),
+        jnp.asarray(bundle.text_feats),
+        jnp.asarray(bundle.mcc_text_feats), method='init_variables')
+    ev = Evaluator(bundle.module, variables, bundle.text_feats, cfg,
+                   mesh=mesh)
+    rs = np.random.RandomState(0)
+    # typical VOC val geometry after min-512 resize
+    img = rs.randn(1, 512, 683, 3).astype(np.float32)
+    ev.predict(img, (500, 667), 'zegclip_sliding_window')  # compile
+    t0 = time.perf_counter()
+    n = args.steps
+    for _ in range(n):
+        ev.predict(img, (500, 667), 'zegclip_sliding_window')
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        'metric': 'zegclip_sliding_window_eval_fps',
+        'value': round(n / dt, 3),
+        'unit': 'imgs/sec',
+        'vs_baseline': round(n / dt, 3),
     }))
 
 

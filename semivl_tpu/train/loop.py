@@ -113,6 +113,56 @@ def init_state(bundle, cfg, total_iters, seed=0, pretrained=None):
     return state, tx, sched, mask
 
 
+def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
+                               logger):
+    """Reference-style debug panel grid (semivl.py:371-406) for sample 0."""
+    from semivl_tpu.utils.plotting import save_debug_grid
+    palette = get_palette(cfg['dataset'])
+    params_host = jax.device_get(state.params)
+    text = jnp.asarray(bundle.text_feats)
+
+    def fwd(img_np):
+        return np.asarray(bundle.module.apply(
+            params_host, jnp.asarray(img_np), text))
+
+    img_x = np.asarray(bl['img'][:1])
+    pred_x = fwd(img_x)
+    panels = [('Image L', img_x[0], 'image', None)]
+    preds_row = [('Pred L', pred_x[0], 'prediction', palette)]
+    gt_row = [('GT L', np.asarray(bl['mask'][0]), 'label', palette)]
+
+    if 'img_w' in bu and 'img_s1' in bu:
+        img_w = np.asarray(bu['img_w'][:1])
+        img_s1 = np.asarray(bu['img_s1'][:1])
+        img_s2 = np.asarray(bu['img_s2'][:1])
+        pred_w = fwd(img_w)
+        mask_w = pred_w.argmax(axis=1)
+        panels += [('Image S1', img_s1[0], 'image', None),
+                   ('Image S2', img_s2[0], 'image', None),
+                   ('Image W', img_w[0], 'image', None)]
+        preds_row += [('Pred S1', fwd(img_s1)[0], 'prediction', palette),
+                      ('Pred S2', fwd(img_s2)[0], 'prediction', palette),
+                      ('Pred W', pred_w[0], 'prediction', palette)]
+        gt_row += [('PL W', mask_w[0], 'label', palette), None, None]
+    rows = 3
+    cols = max(len(panels), len(preds_row), len(gt_row))
+
+    def padded(row):
+        return row + [None] * (cols - len(row))
+
+    grid = padded(panels) + padded(preds_row) + padded(gt_row)
+
+    if bundle.mcc_text_feats is not None and 'img_w' in bu:
+        mclip = np.asarray(bundle.module.apply(
+            params_host, jnp.asarray(bu['img_w'][:1]),
+            jnp.asarray(bundle.mcc_text_feats),
+            cfg.get('mcc_conf_thresh', 0.75), method='forward_maskclip'))
+        grid += padded([('MC W', mclip[0], 'label', palette)])
+        rows += 1
+    save_debug_grid(os.path.join(save_path, 'debug', f'{iters:07d}.png'),
+                    grid, rows=rows, cols=cols)
+
+
 def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
           seed=0):
     """Run a full training job. Returns (best_mIoU, save_path)."""
@@ -249,27 +299,14 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                         writer.add_scalar(k, v, iters)
                 log_avg.reset()
 
-            # per-epoch debug grid (reference semivl.py:371-406); one extra
-            # forward on the first labeled sample of the epoch
-            if i == 0 and cfg.get('debug_images', True) \
+            # per-epoch debug grid (reference semivl.py:371-406: images /
+            # predictions / pseudo-labels, + MaskCLIP row when mcc is on);
+            # a few extra un-jitted forwards on the first sample of the epoch
+            if i == 0 and is_main and cfg.get('debug_images', True) \
                     and method in ('semivl', 'unimatch'):
                 try:
-                    from semivl_tpu.utils.plotting import save_debug_grid
-                    params_host = jax.device_get(state.params)
-                    img0 = np.asarray(bl['img'][:1])
-                    pred = bundle.module.apply(
-                        params_host, jnp.asarray(img0),
-                        jnp.asarray(bundle.text_feats))
-                    palette = get_palette(cfg['dataset'])
-                    save_debug_grid(
-                        os.path.join(save_path, 'debug',
-                                     f'{iters:07d}.png'),
-                        [('Image L', img0[0], 'image', None),
-                         ('Pred L', np.asarray(pred)[0], 'prediction',
-                          palette),
-                         ('GT L', np.asarray(bl['mask'][0]), 'label',
-                          palette)],
-                        rows=1, cols=3)
+                    _save_debug_grid_for_batch(
+                        cfg, bundle, state, bl, bu, save_path, iters, logger)
                 except Exception as exc:
                     logger.warning('debug images failed: %s', exc)
             if preempted['flag'] and is_main:

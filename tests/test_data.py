@@ -132,3 +132,22 @@ def test_bundled_split_path():
     assert p.endswith('pascal/92/labeled.txt')
     import os
     assert os.path.isfile(p)
+
+
+def test_sharded_loader_multihost_partition(synth_root):
+    """Two hosts' loaders must cover disjoint rank sets whose union is the
+    single-host global batch."""
+    root, paths = synth_root
+    cfg = synth_cfg(root)
+    ds = SemiDataset(cfg, 'train_l', id_path=paths['labeled'], nsample=8)
+    full = ShardedLoader(ds, batch_size=1, world=4, seed=0)
+    h0 = ShardedLoader(ds, batch_size=1, world=4, seed=0,
+                       process_index=0, process_count=2)
+    h1 = ShardedLoader(ds, batch_size=1, world=4, seed=0,
+                       process_index=1, process_count=2)
+    bf = next(iter(full.epoch(0)))
+    b0 = next(iter(h0.epoch(0)))
+    b1 = next(iter(h1.epoch(0)))
+    assert b0['img'].shape[0] == b1['img'].shape[0] == 2
+    np.testing.assert_allclose(
+        np.concatenate([b0['img'], b1['img']]), bf['img'])
