@@ -78,6 +78,9 @@ def main():
             restored = ocp.StandardCheckpointer().restore(
                 os.path.abspath(args.save_path))
             variables = restored['params']
+            if args.ema and restored.get('ema_params') is not None:
+                variables = {**variables, 'params': restored['ema_params']}
+                logger.info('Using EMA params')
             logger.info('Loaded orbax checkpoint step %s',
                         restored.get('step'))
     else:
