@@ -76,7 +76,9 @@ def main():
 
     text = jnp.asarray(bundle.text_feats)
     mcc = jnp.asarray(bundle.mcc_text_feats)
-    variables = bundle.module.init(
+    from semivl_tpu.utils.init_utils import jit_init
+    variables = jit_init(
+        bundle.module,
         {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
         jnp.zeros((1, crop, crop, 3)), text, mcc, method='init_variables')
     tx, _, mask = build_optimizer(
@@ -136,11 +138,15 @@ def _bench_eval(args, cfg, bundle):
     from semivl_tpu.evaluation.predict import Evaluator
 
     mesh = Mesh(np.array(jax.devices()), ('data',))
-    variables = bundle.module.init(
+    from semivl_tpu.utils.init_utils import jit_init
+    variables = jit_init(
+        bundle.module,
         {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
         jnp.zeros((1, args.crop, args.crop, 3)),
         jnp.asarray(bundle.text_feats),
         jnp.asarray(bundle.mcc_text_feats), method='init_variables')
+    cfg = dict(cfg)
+    cfg['eval_transfer_dtype'] = 'bfloat16'  # halve D2H logit traffic
     ev = Evaluator(bundle.module, variables, bundle.text_feats, cfg,
                    mesh=mesh)
     rs = np.random.RandomState(0)

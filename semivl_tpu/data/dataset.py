@@ -139,19 +139,26 @@ class SemiDataset:
         if self.mode == 'train_l':
             if self.labeled_photometric_distortion:
                 img = T.photometric_distortion(img, rs)
+            if self.strong_aug_on_device:
+                # uint8 transport; normalisation happens in-graph
+                return dict(img_u8=np.asarray(img, np.uint8),
+                            mask=np.asarray(mask, np.int32))
             return dict(img=T.normalize(img), mask=np.asarray(mask, np.int32))
 
         # train_u: weak + 2 strong views (semi.py:85-107)
         mask_np_early = np.asarray(mask, np.int32)
         if self.strong_aug_on_device:
-            # ship one [0,1] crop; the fused step derives both strong views
-            # and all normalisations in-graph (ops/augment.py)
+            # ship one uint8 crop (4x less host->device traffic than fp32);
+            # the fused step derives both strong views and all
+            # normalisations in-graph (ops/augment.py)
             return dict(
-                img_raw=np.asarray(img, np.float32) / 255.0,
+                img_raw=np.asarray(img, np.uint8),
                 ignore_mask=np.where(mask_np_early == 254, 255, 0)
                 .astype(np.int32),
-                cutmix_box1=T.obtain_cutmix_box(self.size, rs),
-                cutmix_box2=T.obtain_cutmix_box(self.size, rs))
+                cutmix_box1=T.obtain_cutmix_box(self.size, rs)
+                .astype(np.uint8),
+                cutmix_box2=T.obtain_cutmix_box(self.size, rs)
+                .astype(np.uint8))
 
         img_s1, img_s2 = img, img
         if rs.random_sample() < 0.8:

@@ -25,13 +25,22 @@ from semivl_tpu.ops.resize import _axis_weights
 
 
 def _np_resize_bilinear(x, out_hw, align_corners):
-    """Host-side exact-parity bilinear resize of (B, C, H, W) numpy array."""
+    """Host-side exact-parity bilinear resize of (B, C, H, W) numpy array.
+
+    Expressed as batched np.matmul (BLAS) — np.einsum's generic path is
+    ~50x slower on these GFLOP-scale canvas resizes.
+    """
     wh = np.asarray(_axis_weights(out_hw[0], x.shape[2], 'bilinear',
                                   align_corners, 'float32'))
     ww = np.asarray(_axis_weights(out_hw[1], x.shape[3], 'bilinear',
                                   align_corners, 'float32'))
-    y = np.einsum('hH,bcHW->bchW', wh, x)
-    return np.einsum('wW,bchW->bchw', ww, y)
+    y = np.matmul(wh[None, None], x)          # (B, C, h, W)
+    return np.matmul(y, ww.T[None, None])     # (B, C, h, w)
+
+
+def _np_softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
 
 
 def _bucket(n, buckets=(1, 2, 4, 8, 16, 32)):
@@ -58,6 +67,10 @@ class Evaluator:
         self.nclass = cfg['nclass']
         self.mesh = mesh
         self.world = int(mesh.devices.size) if mesh is not None else 1
+        # device->host logit transfer dtype; 'bfloat16' halves PCIe (or, on
+        # this dev harness, tunnel-relay) traffic at ~3-decimal-digit cost
+        # in the canvas accumulation
+        self.transfer_dtype = cfg.get('eval_transfer_dtype', 'float32')
         self._jit_cache = {}
 
     def update_params(self, params):
@@ -75,21 +88,21 @@ class Evaluator:
             batch = imgs
         key = (n,) + shape[1:]
         if key not in self._jit_cache:
+            out_dtype = jnp.dtype(self.transfer_dtype)
+
+            def fwd(params, x, text):
+                return self.module.apply(params, x, text).astype(out_dtype)
+
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 data_sharding = NamedSharding(self.mesh, P('data'))
-
-                def fwd(params, x, text):
-                    return self.module.apply(params, x, text)
                 self._jit_cache[key] = jax.jit(
                     fwd, in_shardings=(None, data_sharding, None))
             else:
-                def fwd(params, x, text):
-                    return self.module.apply(params, x, text)
                 self._jit_cache[key] = jax.jit(fwd)
         logits = self._jit_cache[key](self.params, jnp.asarray(batch),
                                       self.text)
-        return np.asarray(logits[:shape[0]], np.float32)
+        return np.asarray(logits[:shape[0]]).astype(np.float32)
 
     # ---- predict modes (reference supervised.py:40-132) ----
 
@@ -164,8 +177,7 @@ class Evaluator:
             crops = np.concatenate(
                 [img[:, y1:y2, x1:x2] for (y1, x1, y2, x2) in boxes])
             logits = self._forward(crops)
-            probs = jax.nn.softmax(jnp.asarray(logits), axis=1)
-            probs = np.asarray(probs)
+            probs = _np_softmax(logits, axis=1)
             for i, (y1, x1, y2, x2) in enumerate(boxes):
                 final[0, :, y1:y2, x1:x2] += probs[i]
         assert final.shape[-2:] == tuple(mask_shape)
@@ -192,7 +204,7 @@ class Evaluator:
         for i, (y1, x1, y2, x2) in enumerate(boxes):
             crops[i, :y2 - y1, :x2 - x1] = img[0, y1:y2, x1:x2]
         logits = self._forward(crops)
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+        probs = _np_softmax(logits, axis=1)
         for i, (y1, x1, y2, x2) in enumerate(boxes):
             final[0, :, y1:y2, x1:x2] += probs[i, :, :y2 - y1, :x2 - x1]
         assert final.shape[-2:] == tuple(mask_shape)

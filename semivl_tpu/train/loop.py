@@ -91,7 +91,9 @@ def init_state(bundle, cfg, total_iters, seed=0, pretrained=None):
     init_args = [img, jnp.asarray(bundle.text_feats)]
     if bundle.mcc_text_feats is not None:
         init_args.append(jnp.asarray(bundle.mcc_text_feats))
-    variables = module.init(
+    from semivl_tpu.utils.init_utils import jit_init
+    variables = jit_init(
+        module,
         {'params': jax.random.PRNGKey(seed), 'fp': jax.random.PRNGKey(seed + 1)},
         *init_args, method='init_variables')
     if pretrained:
@@ -125,7 +127,12 @@ def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
         return np.asarray(bundle.module.apply(
             params_host, jnp.asarray(img_np), text))
 
-    img_x = np.asarray(bl['img'][:1])
+    if 'img' in bl:
+        img_x = np.asarray(bl['img'][:1])
+    else:  # uint8 transport mode
+        from semivl_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        img_x = ((np.asarray(bl['img_u8'][:1], np.float32) / 255.0
+                  - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
     pred_x = fwd(img_x)
     panels = [('Image L', img_x[0], 'image', None)]
     preds_row = [('Pred L', pred_x[0], 'prediction', palette)]
@@ -276,7 +283,8 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
             if method in ('semivl', 'unimatch'):
                 bl, bu = batch
                 device_batch = {
-                    'img_x': bl['img'], 'mask_x': bl['mask'],
+                    'img_x': bl.get('img', bl.get('img_u8')),
+                    'mask_x': bl['mask'],
                     **{k: v for k, v in bu.items()},
                 }
             else:

@@ -142,15 +142,23 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
 
     def step_fn(state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
-        b = batch['img_x'].shape[0]
+        b = batch['mask_x'].shape[0]
 
         if on_device_aug:
             from semivl_tpu.ops.augment import (
                 normalize_imagenet, strong_augment)
-            raw = batch['img_raw']
-            raw_o = batch['img_raw_other']
+
+            def to_unit(x):  # uint8 or [0,1] float transport
+                if x.dtype == jnp.uint8:
+                    return x.astype(jnp.float32) / 255.0
+                return x
+
+            raw = to_unit(batch['img_raw'])
+            raw_o = to_unit(batch['img_raw_other'])
             ar = jax.random.split(jax.random.fold_in(rng, 7), 4)
             batch = dict(batch)
+            if batch['img_x'].dtype == jnp.uint8:
+                batch['img_x'] = normalize_imagenet(to_unit(batch['img_x']))
             batch['img_w'] = normalize_imagenet(raw)
             batch['img_w_other'] = normalize_imagenet(raw_o)
             batch['img_s1'] = strong_augment(ar[0], raw)

@@ -86,5 +86,8 @@ def test_dataset_on_device_mode(tmp_path):
     ds = SemiDataset(cfg, 'train_u', id_path=paths['unlabeled'])
     s = ds.get(0)
     assert set(s) == {'img_raw', 'ignore_mask', 'cutmix_box1', 'cutmix_box2'}
-    assert s['img_raw'].dtype == np.float32
-    assert 0.0 <= s['img_raw'].min() and s['img_raw'].max() <= 1.0
+    # uint8 transport: 4x less host->device traffic
+    assert s['img_raw'].dtype == np.uint8
+    ds_l = SemiDataset(cfg, 'train_l', id_path=paths['labeled'])
+    sl = ds_l.get(0)
+    assert sl['img_u8'].dtype == np.uint8
