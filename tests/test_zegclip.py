@@ -161,3 +161,17 @@ def test_zegclip_semivl_step(rng):
                                  replicate(jax.random.PRNGKey(0), mesh))
     assert np.isfinite(np.asarray(metrics['loss_all']))
     assert int(np.asarray(new_state.step)) == 1
+
+
+def test_promptless_clip_vit(rng):
+    from semivl_tpu.models.zegclip_vit import CLIPVisionTransformer
+    for embed_v in (False, True):
+        m = CLIPVisionTransformer(
+            input_resolution=IMG, patch_size=PATCH, width=W, layers=LAYERS,
+            heads=HEADS, output_dim=OUT, out_indices=(LAYERS - 1,),
+            embed_v=embed_v)
+        x = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        assert out['feats'][0].shape == (1, 4, 4, OUT)
+        assert out['global_emb'].shape == (1, OUT)
