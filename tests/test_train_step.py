@@ -248,3 +248,27 @@ def test_trainable_mask_semantics():
 def test_param_paths():
     paths = param_path_strings({'a': {'b': 1, 'c': {'d': 2}}})
     assert paths == {'a': {'b': 'a.b', 'c': {'d': 'a.c.d'}}}
+
+
+def test_unimatch_step_no_mcc(mesh, rng):
+    """method='unimatch': the same fused step with the MaskCLIP-consistency
+    branch off (reference: same semivl.py code path, SURVEY.md §2.1)."""
+    bundle = tiny_bundle(num_classes=NCLS, img_size=IMG, with_mcc=False)
+    params = bundle.module.init(
+        {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
+        jnp.zeros((1, IMG, IMG, 3)), jnp.asarray(bundle.text_feats),
+        method='init_variables')
+    assert 'clip_encoder' not in params['params']
+    cfg = run_cfg(maskclip_consistency_lambda=0)
+    tx, _, mask = build_optimizer(cfg, params['params'], total_iters=50,
+                                  freeze_backbone=True,
+                                  exclude_keys=['attn', 'pos_embed'])
+    state = TrainState(params=params, opt_state=tx.init(params['params']),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_semivl_train_step(bundle, cfg, tx, mesh, total_iters=50,
+                                     trainable_mask=mask)
+    batch = shard_batch(synth_batch(rng, WORLD), mesh)
+    new_state, metrics = step_fn(replicate(state, mesh), batch,
+                                 replicate(jax.random.PRNGKey(0), mesh))
+    assert np.isfinite(np.asarray(metrics['loss_all']))
+    assert 'loss_mc_s1' not in metrics  # no guidance branch
