@@ -2,15 +2,16 @@
 
 The reference only saves ``best.pth`` (model+optimizer+epoch, semivl.py:
 423-433) and has no resume path. Here: orbax checkpoints of
-(params, opt_state, step, epoch, previous_best) with both ``best`` and
-``latest`` slots and a restore path — fixing the reference's gap
-(SURVEY.md §5).
+(params, opt_state, step[, ema_params]) with both ``best`` and ``latest``
+slots plus a sidecar ``extra.json`` for scalar metadata (epoch,
+previous_best) — sidecar because orbax restore is strict about tree
+structure and the scalars shouldn't dictate it.
 """
 
+import json
 import os
 from typing import Optional
 
-import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -23,8 +24,8 @@ class CheckpointManager:
     def _slot(self, name):
         return os.path.join(self.root, name)
 
-    def save(self, name, state, extra: Optional[dict] = None):
-        """``state``: TrainState; ``extra``: small python scalars."""
+    @staticmethod
+    def _payload(state):
         payload = {
             'params': state.params,
             'opt_state': state.opt_state,
@@ -32,34 +33,31 @@ class CheckpointManager:
         }
         if getattr(state, 'ema_params', None) is not None:
             payload['ema_params'] = state.ema_params
-        if extra:
-            payload['extra'] = {k: np.asarray(v) for k, v in extra.items()}
+        return payload
+
+    def save(self, name, state, extra: Optional[dict] = None):
+        """``state``: TrainState; ``extra``: small JSON-able scalars."""
         path = self._slot(name)
-        self._ckptr.save(path, payload, force=True)
+        self._ckptr.save(path, self._payload(state), force=True)
         self._ckptr.wait_until_finished()
+        with open(path + '.extra.json', 'w') as f:
+            json.dump({k: float(v) for k, v in (extra or {}).items()}, f)
 
     def restore(self, name, state):
         """Restore into the structure of ``state``; returns (state, extra)."""
         path = self._slot(name)
-        target = {
-            'params': state.params,
-            'opt_state': state.opt_state,
-            'step': state.step,
-        }
-        if getattr(state, 'ema_params', None) is not None:
-            target['ema_params'] = state.ema_params
-        # probe whether an extra dict was saved
-        try:
-            restored = self._ckptr.restore(path, target | {'extra': None})
-        except BaseException:
-            restored = self._ckptr.restore(path, target)
-            restored['extra'] = {}
+        restored = self._ckptr.restore(path, self._payload(state))
         new_state = state.replace(
             params=restored['params'],
             opt_state=restored['opt_state'],
             step=restored['step'],
-            ema_params=restored.get('ema_params', state.ema_params))
-        return new_state, restored.get('extra') or {}
+            ema_params=restored.get('ema_params',
+                                    getattr(state, 'ema_params', None)))
+        extra = {}
+        if os.path.isfile(path + '.extra.json'):
+            with open(path + '.extra.json') as f:
+                extra = json.load(f)
+        return new_state, extra
 
     def exists(self, name):
         return os.path.isdir(self._slot(name))

@@ -171,8 +171,13 @@ def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
 
 
 def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
-          seed=0):
-    """Run a full training job. Returns (best_mIoU, save_path)."""
+          seed=0, resume_from=None):
+    """Run a full training job. Returns (best_mIoU, save_path).
+
+    ``resume_from``: an existing run dir — reuse it and restore the
+    'latest' checkpoint (true mid-run resume; the reference has none,
+    SURVEY.md §5).
+    """
     logger = init_log('global')
     if cfg.get('attention_impl'):
         from semivl_tpu.ops.attention import set_default_impl
@@ -180,7 +185,13 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
     method = cfg.get('method', 'semivl')
     pidx, pcount = _maybe_multihost(logger)
     is_main = pidx == 0
-    run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger)
+    if resume_from:
+        save_path = resume_from
+        run_name = os.path.basename(os.path.normpath(resume_from))
+        add_file_handler(logger, os.path.join(save_path, 'debug.log'))
+        logger.info('Resuming run dir %s', save_path)
+    else:
+        run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger)
     writer = MetricWriter(save_path) if is_main else None
     mesh = make_mesh(cfg)
     world = mesh.devices.size

@@ -30,6 +30,9 @@ def main():
                         help="force a JAX platform (e.g. 'cpu'); needed "
                              'because host sitecustomize pins the TPU '
                              'backend over JAX_PLATFORMS')
+    parser.add_argument('--resume-from', default=None,
+                        help='existing run dir: restore its latest '
+                             'checkpoint and continue')
     args = parser.parse_args()
 
     platform = args.platform or os.environ.get('SEMIVL_PLATFORM')
@@ -44,7 +47,8 @@ def main():
 
     best, save_path = train(cfg, args_dict=vars(args),
                             max_iters_override=args.max_iters,
-                            pretrained=args.pretrained, seed=args.seed)
+                            pretrained=args.pretrained, seed=args.seed,
+                            resume_from=args.resume_from)
     print(f'best mIoU: {best:.2f} (artifacts in {save_path})')
 
 

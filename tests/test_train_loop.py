@@ -45,3 +45,37 @@ def test_full_semivl_loop(loop_cfg, tmp_path, monkeypatch):
     with open(os.path.join(save_path, 'all_args.yaml')) as f:
         args = yaml.load(f, Loader=yaml.Loader)
     assert args['nclass'] == 21
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from semivl_tpu.train.checkpoint import CheckpointManager
+    from semivl_tpu.train.step import TrainState
+
+    state = TrainState(
+        params={'params': {'w': jnp.ones((3, 3))}},
+        opt_state={'mu': jnp.zeros((3, 3))},
+        step=jnp.asarray(7, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save('latest', state, extra={'epoch': 4, 'previous_best': 55.5})
+    assert mgr.exists('latest')
+
+    blank = TrainState(
+        params={'params': {'w': jnp.zeros((3, 3))}},
+        opt_state={'mu': jnp.ones((3, 3))},
+        step=jnp.asarray(0, jnp.int32))
+    restored, extra = mgr.restore('latest', blank)
+    np.testing.assert_array_equal(np.asarray(restored.params['params']['w']),
+                                  np.ones((3, 3)))
+    assert int(np.asarray(restored.step)) == 7
+    assert extra['epoch'] == 4 and extra['previous_best'] == 55.5
+
+    # ema variant
+    state_e = state.replace(ema_params={'w': jnp.full((3, 3), 2.0)})
+    mgr.save('best', state_e, extra={'epoch': 1, 'previous_best': 1.0})
+    blank_e = blank.replace(ema_params={'w': jnp.zeros((3, 3))})
+    restored_e, _ = mgr.restore('best', blank_e)
+    np.testing.assert_array_equal(
+        np.asarray(restored_e.ema_params['w']), np.full((3, 3), 2.0))

@@ -175,3 +175,39 @@ def test_promptless_clip_vit(rng):
         out = m.apply(variables, x)
         assert out['feats'][0].shape == (1, 4, 4, OUT)
         assert out['global_emb'].shape == (1, OUT)
+
+
+def test_ohem_matches_reference_semantics(rng):
+    """ohem_cross_entropy vs a literal torch ProbOhemCrossEntropy2d
+    (reference third_party/unimatch/util/ohem.py:28-57)."""
+    from semivl_tpu.losses.ce import ohem_cross_entropy
+
+    B, C, H = 2, 6, 12
+    pred = rng.randn(B, C, H, H).astype(np.float32)
+    target = rng.randint(0, C, (B, H, H)).astype(np.int64)
+    target[0, :3] = 255
+
+    for min_kept in (10, 50, 10_000):
+        got = float(ohem_cross_entropy(
+            jnp.asarray(pred), jnp.asarray(target.astype(np.int32)),
+            thresh=0.7, min_kept=min_kept))
+
+        tp = torch.from_numpy(pred)
+        tt = torch.from_numpy(target).view(-1)
+        valid = tt.ne(255)
+        t0 = tt * valid.long()
+        prob = F.softmax(tp, dim=1).permute(1, 0, 2, 3).reshape(C, -1)
+        tgt_out = tt.clone()
+        if min_kept <= valid.sum():
+            prob = prob.masked_fill(~valid, 1)
+            mask_prob = prob[t0, torch.arange(len(t0))]
+            threshold = 0.7
+            index = mask_prob.argsort()
+            threshold_index = index[min(len(index), min_kept) - 1]
+            if mask_prob[threshold_index] > 0.7:
+                threshold = mask_prob[threshold_index]
+            kept = mask_prob.le(threshold)
+            tgt_out = torch.where(valid & kept, tt, torch.tensor(255))
+        want = float(F.cross_entropy(
+            tp, tgt_out.view(B, H, H), ignore_index=255))
+        np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=str(min_kept))
