@@ -34,6 +34,7 @@ def build_backbone(cfg, dtype):
             return_clip_embed=cfg.get('return_clip_embed', True),
             return_qkv=cfg.get('return_qkv', True),
             patch_bias=cfg.get('patch_bias', False),
+            skip_last_attn=cfg.get('skip_last_attn', False),
             clip_dim=cfg.get('clip_dim', 512),
             norm_eps=cfg.get('norm_eps', 1e-6),
             remat=cfg.get('with_cp', False),

@@ -45,6 +45,10 @@ class MaskClipViT(nn.Module):
     final_norm: bool = True
     return_clip_embed: bool = True
     return_qkv: bool = True
+    # maskclip_vit.py:542-546: replace the final layer's attention-mixed
+    # output with the v-path (config-reachable in the reference, unused by
+    # any shipped experiment).
+    skip_last_attn: bool = False
     patch_bias: bool = False
     clip_dim: int = 512
     norm_eps: float = 1e-6
@@ -120,11 +124,14 @@ class MaskClipViT(nn.Module):
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             need_v = self.return_qkv and (i in out_indices
-                                          or (last and self.return_clip_embed))
+                                          or (last and self.return_clip_embed)
+                                          or (last and self.skip_last_attn))
             x, v = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 norm_eps=self.norm_eps, dtype=self.dtype,
                 name=f'layers_{i}')(x, need_v)
+            if last and self.skip_last_attn and v is not None:
+                x = v
             if last and self.final_norm:
                 x = final_ln(x)
                 if v is not None:

@@ -55,7 +55,7 @@ def _block(flat, pre):
     }
 
 
-def convert_maskclip_vit(flat, prefix='backbone.', num_layers=12):
+def convert_maskclip_vit(flat, prefix='backbone.', num_layers=None):
     p = {
         'cls_token': _t(flat[prefix + 'cls_token']),
         'pos_embed': _t(flat[prefix + 'pos_embed']),
@@ -70,6 +70,10 @@ def convert_maskclip_vit(flat, prefix='backbone.', num_layers=12):
         if w.ndim == 4:
             w = w[:, :, 0, 0]
         p['proj'] = {'kernel': w.T}
+    if num_layers is None:
+        num_layers = 0
+        while f'{prefix}layers.{num_layers}.ln1.weight' in flat:
+            num_layers += 1
     for i in range(num_layers):
         p[f'layers_{i}'] = _block(flat, f'{prefix}layers.{i}.')
     return p
@@ -79,9 +83,17 @@ def _conv_gn(flat, conv_key, gn_key):
     return {'conv': _conv(flat, conv_key), 'gn': _norm(flat, gn_key)}
 
 
-def convert_vlg_head(flat, prefix='decode_head.', num_layers=2,
-                     num_skips=2):
+def convert_vlg_head(flat, prefix='decode_head.', num_layers=None,
+                     num_skips=None):
     """reference vlg_head.py param names -> our VLGHead tree."""
+    if num_layers is None:
+        num_layers = 0
+        while f'{prefix}layers.{num_layers}.transformer.ln1.weight' in flat:
+            num_layers += 1
+    if num_skips is None:
+        num_skips = 0
+        while f'{prefix}skip_proj.{num_skips}.0.weight' in flat:
+            num_skips += 1
     p = {
         'conv1': _conv(flat, prefix + 'conv1'),
         'text_proj': _dense(flat, prefix + 'text_proj.0'),
@@ -137,7 +149,11 @@ def convert_resnet_v1c(flat, prefix='conv_encoder.', num_stages=1,
         p, s = _conv_bn(flat, prefix + ck, prefix + bk)
         params[name], stats[name] = p, s
     for stage in range(num_stages):
-        for b in range(blocks[stage]):
+        n_blocks = blocks[stage]
+        while not f'{prefix}layer{stage + 1}.{n_blocks - 1}.conv1.weight' \
+                in flat and n_blocks > 1:
+            n_blocks -= 1
+        for b in range(n_blocks):
             bp = f'{prefix}layer{stage + 1}.{b}.'
             blk_p, blk_s = {}, {}
             for i in (1, 2, 3):
@@ -168,7 +184,8 @@ def load_reference_checkpoint(path, ema=False):
     return flat, ckpt.get('epoch')
 
 
-def convert_vlm_checkpoint(flat, num_layers=12, vlg_layers=2, num_skips=2):
+def convert_vlm_checkpoint(flat, num_layers=None, vlg_layers=None,
+                           num_skips=None):
     """Flat reference VLM state dict -> variables ({'params', maybe
     'batch_stats'})."""
     params = {'backbone': convert_maskclip_vit(flat, 'backbone.', num_layers)}

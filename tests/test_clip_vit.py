@@ -181,6 +181,30 @@ def test_encoder_pos_resize_and_padding(rng):
                                rtol=1e-3, atol=3e-4)
 
 
+def test_skip_last_attn(rng):
+    """maskclip_vit.py:542-546: final layer emits the v-path instead of the
+    attention-mixed tokens. The dense clip embedding is computed from the
+    v-path either way (identical), while the cls/global embedding changes."""
+    import jax
+    img = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+    base = _flax_model([LAYERS])
+    skip = MaskClipViT(
+        img_size=(IMG, IMG), patch_size=PATCH, embed_dims=EMB,
+        num_layers=LAYERS, num_heads=HEADS, mlp_ratio=4, clip_dim=CLIP_DIM,
+        out_indices=[LAYERS], pre_norm=True, final_norm=True,
+        return_clip_embed=True, return_qkv=True, skip_last_attn=True)
+    params = base.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))
+    out_b = base.apply(params, img)
+    out_s = skip.apply(params, img)
+    np.testing.assert_allclose(np.asarray(out_s['feats'][0]),
+                               np.asarray(out_b['feats'][0]), atol=1e-6)
+    assert not np.allclose(np.asarray(out_s['global_emb']),
+                           np.asarray(out_b['global_emb']), atol=1e-3)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out_s['global_emb']), axis=-1), 1.0,
+        atol=1e-5)
+
+
 def test_out_indices_none_gives_clip_embed_only(rng):
     fm = _flax_model(None)
     import jax
