@@ -155,6 +155,40 @@ def strong_augment(rng, imgs):
     return normalize_imagenet(out)
 
 
+def photometric_distortion(rng, imgs):
+    """Batch (B, H, W, 3) [0,1] -> distorted [0,1].
+
+    mmseg PhotoMetricDistortion parity in [0,1] scale (the reference applies
+    it to labeled Cityscapes crops, semi.py:79-82): brightness delta 32/255,
+    contrast [0.5, 1.5] applied randomly before or after the saturation/hue
+    pair, saturation [0.5, 1.5], hue +-18/360 — each op with p=0.5.
+    Saturation uses the same luma blend as the host path (distribution-level
+    parity with mmseg's HSV scaling).
+    """
+    def one(rng, img):
+        ks = jax.random.split(rng, 9)
+        delta = jax.random.uniform(ks[0], (), minval=-32 / 255,
+                                   maxval=32 / 255)
+        img = jnp.where(jax.random.bernoulli(ks[1]),
+                        jnp.clip(img + delta, 0.0, 1.0), img)
+        contrast_last = jax.random.bernoulli(ks[2])
+        alpha = jax.random.uniform(ks[3], (), minval=0.5, maxval=1.5)
+        apply_contrast = jax.random.bernoulli(ks[4])
+        contrasted = lambda im: jnp.clip(im * alpha, 0.0, 1.0)
+        img = jnp.where(apply_contrast & ~contrast_last, contrasted(img), img)
+        fs = jax.random.uniform(ks[5], (), minval=0.5, maxval=1.5)
+        img = jnp.where(jax.random.bernoulli(ks[6]),
+                        jnp.clip(_adjust_saturation(img, fs), 0.0, 1.0), img)
+        fh = jax.random.uniform(ks[7], (), minval=-18 / 360, maxval=18 / 360)
+        img = jnp.where(jax.random.bernoulli(ks[8]), _adjust_hue(img, fh),
+                        img)
+        img = jnp.where(apply_contrast & contrast_last, contrasted(img), img)
+        return img
+
+    rngs = jax.random.split(rng, imgs.shape[0])
+    return jax.vmap(one)(rngs, imgs)
+
+
 def normalize_imagenet(imgs):
     mean = jnp.asarray(IMAGENET_MEAN, imgs.dtype)
     std = jnp.asarray(IMAGENET_STD, imgs.dtype)

@@ -158,7 +158,11 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             ar = jax.random.split(jax.random.fold_in(rng, 7), 4)
             batch = dict(batch)
             if batch['img_x'].dtype == jnp.uint8:
-                batch['img_x'] = normalize_imagenet(to_unit(batch['img_x']))
+                x = to_unit(batch['img_x'])
+                if cfg.get('labeled_photometric_distortion', False):
+                    from semivl_tpu.ops.augment import photometric_distortion
+                    x = photometric_distortion(jax.random.fold_in(rng, 8), x)
+                batch['img_x'] = normalize_imagenet(x)
             batch['img_w'] = normalize_imagenet(raw)
             batch['img_w_other'] = normalize_imagenet(raw_o)
             batch['img_s1'] = strong_augment(ar[0], raw)

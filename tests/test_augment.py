@@ -66,6 +66,33 @@ def test_strong_augment_batch(rng):
     assert np.abs(np.asarray(out1[0]) - np.asarray(out1[1])).max() > 1e-3
 
 
+def test_photometric_distortion_stats(rng):
+    """Distribution-level parity with the host mmseg-style PMD: same image,
+    many independent draws, per-channel output means agree."""
+    from PIL import Image
+    from semivl_tpu.data.transforms import photometric_distortion as host_pmd
+    from semivl_tpu.ops.augment import photometric_distortion
+
+    img_u8 = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    n = 400
+    imgs = jnp.broadcast_to(jnp.asarray(img_u8 / 255.0, jnp.float32),
+                            (n, 24, 24, 3))
+    dev = np.asarray(photometric_distortion(jax.random.PRNGKey(0), imgs))
+    assert dev.min() >= 0.0 and dev.max() <= 1.0
+    # deterministic per key, stochastic across samples
+    dev2 = np.asarray(photometric_distortion(jax.random.PRNGKey(0), imgs))
+    np.testing.assert_array_equal(dev, dev2)
+    assert np.abs(dev[0] - dev[1]).max() > 1e-4
+
+    rs = np.random.RandomState(0)
+    host = np.stack([
+        np.asarray(host_pmd(Image.fromarray(img_u8), rs), np.float32) / 255.0
+        for _ in range(n)])
+    np.testing.assert_allclose(dev.mean(axis=(0, 1, 2)),
+                               host.mean(axis=(0, 1, 2)), atol=0.02)
+    np.testing.assert_allclose(dev.std(), host.std(), atol=0.03)
+
+
 def test_normalize_imagenet_matches_host():
     from semivl_tpu.data.transforms import normalize
     from PIL import Image

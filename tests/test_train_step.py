@@ -199,6 +199,32 @@ def test_on_device_aug_and_ema_step(mesh, setup, rng):
     assert np.abs(new_ema - new_param).max() > 1e-9     # but lags params
 
 
+def test_on_device_labeled_pmd_step(mesh, setup, rng):
+    """uint8 labeled transport + on-device PhotoMetricDistortion
+    (reference semi.py:79-82, Cityscapes labeled_photometric_distortion)."""
+    bundle, cfg, tx, mask, state = setup
+    state = jax.tree.map(jnp.array, state)
+    cfg = dict(cfg)
+    cfg['strong_aug_on_device'] = True
+    cfg['labeled_photometric_distortion'] = True
+    step_fn = make_semivl_train_step(
+        bundle, cfg, tx, mesh, total_iters=100, trainable_mask=mask)
+    ign = np.zeros((WORLD, IMG, IMG), np.int32)
+    boxes = np.zeros((WORLD, IMG, IMG), np.float32)
+    boxes[:, 10:30, 5:40] = 1
+    batch = shard_batch(dict(
+        img_x=(rng.rand(WORLD, IMG, IMG, 3) * 255).astype(np.uint8),
+        mask_x=rng.randint(0, NCLS, (WORLD, IMG, IMG)).astype(np.int32),
+        img_raw=(rng.rand(WORLD, IMG, IMG, 3) * 255).astype(np.uint8),
+        img_raw_other=(rng.rand(WORLD, IMG, IMG, 3) * 255).astype(np.uint8),
+        ignore_mask=ign, ignore_mask_other=ign,
+        cutmix_box1=boxes, cutmix_box2=boxes), mesh)
+    new_state, metrics = step_fn(replicate(state, mesh), batch,
+                                 replicate(jax.random.PRNGKey(0), mesh))
+    assert np.isfinite(np.asarray(metrics['loss_all']))
+    assert int(np.asarray(jax.device_get(new_state.step))) == 1
+
+
 def test_poly_schedule():
     sched = make_poly_schedule(1e-4, max_iters=100, warmup_iters=10,
                                warmup_ratio=1e-6)
