@@ -93,7 +93,7 @@ class SemiDataset:
             mask = mask.astype(np.int16)
             mask[mask == 0] = 256
             mask = mask - 1
-            mask[mask == 255] = 255  # 256-1
+            mask[mask == 254] = 255  # original 255 ignore stays ignore
             mask = mask.astype(np.uint8)
         return sample_id, img, Image.fromarray(mask)
 

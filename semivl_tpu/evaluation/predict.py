@@ -211,22 +211,37 @@ class Evaluator:
         return final.argmax(axis=1), final
 
 
-def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None):
+def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
+             process_index=0, process_count=1):
     """Full-dataset evaluation -> (mIoU, per-class IoU).
 
-    Parity: reference supervised.py:135-164 (per-image predict +
-    histogram accumulation). ``indices`` restricts to a subset (sharded eval
-    or smoke tests).
+    Parity: reference supervised.py:135-164 (per-image predict + histogram
+    accumulation); with ``process_count > 1`` the val set is strided across
+    hosts and the intersection/union histograms are summed globally — the
+    XLA-collective equivalent of the reference's ``dist.all_reduce``
+    (supervised.py:154-156). ``indices`` restricts to an explicit subset
+    (smoke tests).
     """
     assert mode in ('original', 'center_crop', 'padded_sliding_window',
                     'zegclip_sliding_window', 'sliding_window')
     inter_sum = np.zeros(cfg['nclass'], np.float64)
     union_sum = np.zeros(cfg['nclass'], np.float64)
-    idxs = range(len(dataset)) if indices is None else indices
+    if indices is not None:
+        idxs = indices
+    elif process_count > 1:
+        idxs = range(process_index, len(dataset), process_count)
+    else:
+        idxs = range(len(dataset))
     for i in idxs:
         sample = dataset.get(i)
         img = sample['img'][None]
         mask = sample['mask']
+        if mode == 'center_crop':
+            # the reference crops the target too (supervised.py:120-124)
+            size = cfg['crop_size']
+            sh = (mask.shape[0] - size) // 2
+            sw = (mask.shape[1] - size) // 2
+            mask = mask[sh:sh + size, sw:sw + size]
         pred = evaluator.predict(img, mask.shape, mode)
         inter, union, _ = intersection_and_union(pred[0], mask,
                                                  cfg['nclass'])
@@ -234,5 +249,19 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None):
         union_sum += union
         if progress is not None:
             progress(i)
+    if process_count > 1:
+        from jax.experimental import multihost_utils
+        local = np.stack([inter_sum, union_sum])
+        # int32 transport keeps the pixel counts exact (jax's default x64
+        # disablement would silently truncate float64); per-class counts on
+        # the supported val sets stay far below 2^31
+        assert local.max() < 2 ** 31, 'histogram overflow, shard the eval'
+        gathered = multihost_utils.process_allgather(
+            local.astype(np.int32))
+        gathered = np.asarray(gathered, np.float64)
+        inter_sum = gathered[..., 0, :].sum(
+            axis=tuple(range(gathered.ndim - 2)))
+        union_sum = gathered[..., 1, :].sum(
+            axis=tuple(range(gathered.ndim - 2)))
     iou_class = inter_sum / (union_sum + 1e-10) * 100.0
     return float(np.mean(iou_class)), iou_class

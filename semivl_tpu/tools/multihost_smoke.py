@@ -68,6 +68,31 @@ def worker(process_id, num_processes, port):
           f'step={int(np.asarray(new_state.step))}', flush=True)
     assert np.isfinite(loss)
 
+    # sharded evaluation: strided val split + histogram allgather must equal
+    # a full local evaluation (reference supervised.py:154-156 all_reduce)
+    import tempfile
+    from synth_data import make_synth_dataset, synth_cfg
+    from semivl_tpu.data.dataset import SemiDataset
+    from semivl_tpu.evaluation.predict import Evaluator, evaluate
+    root = os.path.join(tempfile.gettempdir(),
+                        f'mh_smoke_eval_{process_id}')
+    paths = make_synth_dataset(root, n_val=4, size=(72, 88), seed=0)
+    cfg_e = synth_cfg(root, crop_size=64)
+    cfg_e['nclass'] = 5
+    cfg_e['stride'] = 48
+    ds = SemiDataset(cfg_e, 'val', id_path=paths['val'])
+    # variables' buffers were donated to the train step — use the updated
+    # params from new_state
+    ev = Evaluator(bundle.module, jax.device_get(new_state.params),
+                   bundle.text_feats, cfg_e)
+    miou_full, _ = evaluate(ev, ds, 'zegclip_sliding_window', cfg_e)
+    miou_shard, _ = evaluate(ev, ds, 'zegclip_sliding_window', cfg_e,
+                             process_index=process_id,
+                             process_count=num_processes)
+    print(f'[host {process_id}] miou_full={miou_full:.6f} '
+          f'miou_sharded={miou_shard:.6f}', flush=True)
+    assert abs(miou_full - miou_shard) < 1e-4, (miou_full, miou_shard)
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -348,7 +348,9 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 or epoch == cfg['epochs'] - 1 or done):
             evaluator.update_params(jax.device_get(state.params))
             eval_mode = cfg['eval_mode']
-            miou, iou_class = evaluate(evaluator, valset, eval_mode, cfg)
+            miou, iou_class = evaluate(evaluator, valset, eval_mode, cfg,
+                                       process_index=pidx,
+                                       process_count=pcount)
             logger.info(run_name)
             for cls_idx, iou in enumerate(iou_class):
                 logger.info('***** Evaluation ***** >>>> Class [%d %s] '

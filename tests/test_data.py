@@ -85,6 +85,33 @@ def test_dataset_modes(synth_root):
     assert isinstance(v['id'], str)
 
 
+def test_reduce_zero_label(synth_root, tmp_path):
+    """ADE remap (reference semi.py:46-51): 0 -> 255 (ignore), k -> k-1."""
+    import os
+    from PIL import Image
+    root, _ = synth_root
+    mask = np.zeros((16, 16), np.uint8)
+    mask[0] = 0      # background -> ignore
+    mask[1] = 1      # -> 0
+    mask[2] = 150    # -> 149
+    mask[3] = 255    # stays ignore
+    Image.fromarray(mask).save(os.path.join(root, 'masks', 'rz.png'))
+    img = np.zeros((16, 16, 3), np.uint8)
+    Image.fromarray(img).save(os.path.join(root, 'imgs', 'rz.png'))
+    idp = str(tmp_path / 'rz.txt')
+    with open(idp, 'w') as f:
+        f.write('imgs/rz.png masks/rz.png\n')
+    cfg = synth_cfg(root)
+    cfg['reduce_zero_label'] = True
+    ds = SemiDataset(cfg, 'val', id_path=idp)
+    v = ds.get(0)
+    got = np.asarray(v['mask'])
+    assert set(np.unique(got[0])) == {255}
+    assert set(np.unique(got[1])) == {0}
+    assert set(np.unique(got[2])) == {149}
+    assert set(np.unique(got[3])) == {255}
+
+
 def test_dataset_determinism(synth_root):
     root, paths = synth_root
     cfg = synth_cfg(root)

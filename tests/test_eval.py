@@ -66,6 +66,7 @@ def tiny_eval(tmp_path_factory):
     ('sliding_window', None),
     ('padded_sliding_window', 48),
     ('original', None),
+    ('center_crop', None),
 ])
 def test_eval_modes_run(tiny_eval, mode, stride):
     root, bundle, params = tiny_eval
