@@ -96,55 +96,51 @@ def _fused_attention_fwd_impl(qh, kh, vh, interpret):
 
 
 def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, bq):
-    """Grid: (bh,). Whole-sequence backward per (batch, head):
+                dq_ref, dk_ref, dv_ref, *, scale):
+    """Grid: (bh, q_blocks) — same shape as the forward, so the VMEM
+    footprint matches the forward's (which fits at every supported L).
 
-    recompute p = softmax(q k^T) block-row by block-row; with
-    dp = g v^T and the softmax jacobian
-    ds = p * (dp - rowsum(g * o)), accumulate
-      dq += ds k * scale ; dk += ds^T q * scale ; dv += p^T g.
-    L_pad <= 2704: k/v/g and the fp32 accumulators fit in VMEM.
+    Per program: recompute p = softmax(q k^T) for one q-block; with
+    dp = g v^T and the softmax jacobian ds = p * (dp - rowsum(g * o)):
+      dq = ds k * scale (written per q-block);
+      dk += ds^T q * scale, dv += p^T g (fp32 output blocks revisited and
+      accumulated across the sequential q-block grid axis).
     """
+    i = pl.program_id(1)
     seq = len_ref[0]
-    k = k_ref[0]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    k = k_ref[0]                                             # (L_pad, D)
     v = v_ref[0]
-    l_pad, d = k.shape
-    dk_acc0 = jnp.zeros((l_pad, d), jnp.float32)
-    dv_acc0 = jnp.zeros((l_pad, d), jnp.float32)
-
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * bq, bq), :]
-        g = g_ref[0, pl.ds(i * bq, bq), :]
-        o = o_ref[0, pl.ds(i * bq, bq), :]
-        qs = q * jnp.asarray(scale, q.dtype)
-        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kidx < seq, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)          # (BQ, L)
-        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
-                        axis=-1, keepdims=True)
-        ds = p * (dp - delta)                                # (BQ, L) fp32
-        ds_c = ds.astype(k.dtype)
-        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
-        dq_ref[0, pl.ds(i * bq, bq), :] = dq.astype(dq_ref.dtype)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds_c, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return dk_acc, dv_acc
-
-    dk_acc, dv_acc = jax.lax.fori_loop(0, l_pad // bq, body,
-                                       (dk_acc0, dv_acc0))
-    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+    q = q_ref[0]                                             # (BQ, D)
+    g = g_ref[0]
+    o = o_ref[0]
+    qs = q * jnp.asarray(scale, q.dtype)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kidx < seq, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)               # (BQ, L)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = p * (dp - delta)                                    # (BQ, L) fp32
+    ds_c = ds.astype(k.dtype)
+    dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        ds_c, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret):
@@ -156,20 +152,28 @@ def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret):
         out, g = (jnp.pad(x, pad) for x in (out, g))
     scale = d ** -0.5
     lengths = jnp.full((1,), seq_len, jnp.int32)
-    full = pl.BlockSpec((1, l_pad, d), lambda b, *_: (b, 0, 0))
+    blocked = pl.BlockSpec((1, _BQ, d), lambda b, i, *_: (b, i, 0))
+    full = pl.BlockSpec((1, l_pad, d), lambda b, i, *_: (b, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
-        in_specs=[full] * 5,
-        out_specs=[full] * 3,
+        grid=(bh, l_pad // _BQ),
+        in_specs=[blocked, full, full, blocked, blocked],
+        out_specs=[blocked, full, full],
     )
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, bq=_BQ),
+        functools.partial(_bwd_kernel, scale=scale),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bh, l_pad, d), qh.dtype)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, l_pad, d), qh.dtype),
+            jax.ShapeDtypeStruct((bh, l_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, l_pad, d), jnp.float32),
+        ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
     )(lengths, qh, kh, vh, out, g)
-    return (dq[:, :seq_len], dk[:, :seq_len], dv[:, :seq_len])
+    return (dq[:, :seq_len], dk[:, :seq_len].astype(qh.dtype),
+            dv[:, :seq_len].astype(qh.dtype))
 
 
 def _fused_attention_fwd(qh, kh, vh, interpret):
