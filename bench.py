@@ -24,8 +24,8 @@ def main():
     parser.add_argument('--batch-size', type=int, default=2,
                         help='per-chip batch (VOC reference: 2)')
     parser.add_argument('--crop', type=int, default=512)
-    parser.add_argument('--steps', type=int, default=10)
-    parser.add_argument('--warmup', type=int, default=3)
+    parser.add_argument('--steps', type=int, default=30)
+    parser.add_argument('--warmup', type=int, default=5)
     parser.add_argument('--dtype', default='bfloat16')
     parser.add_argument('--attention', default='pallas',
                         choices=['xla', 'pallas'])
