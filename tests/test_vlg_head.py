@@ -229,3 +229,36 @@ def test_vlg_head_parity(rng):
 
     assert got.shape == want.shape == (B, N_CLS, IMG, IMG)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-4)
+
+
+def test_vlg_head_concept_aggregation(rng):
+    """Concept text (98 rows for VOC-21) runs 98 class planes through the
+    decoder, then max-aggregates to 21 classes in-head (vlg_head.py:242-244
+    semantics)."""
+    import jax
+    from semivl_tpu.text import get_class_to_concept_idxs
+
+    name = 'voc12_wbg_concept4_single'
+    c2c = get_class_to_concept_idxs(name)
+    n_con = max(max(v) for v in c2c.values()) + 1
+    fm = VLGHead(img_size=IMG, num_classes=21, text_in_channels=TXT_IN,
+                 text_channels=TXT_CH, up_channels=UP,
+                 skip_in_channels=SKIP_IN, skip_channels=SKIP_CH,
+                 skip_from_conv_feat=False, num_layers=1, num_heads=HEADS,
+                 channels=CH, pool_size=POOL, conv1_ksize=K1,
+                 align_corners=False, text_embedding_name=name)
+    feats = (jnp.asarray(rng.randn(B, H, H, SKIP_IN[0]), jnp.float32),
+             jnp.asarray(rng.randn(B, H, H, SKIP_IN[1]), jnp.float32),
+             jnp.asarray(rng.randn(B, H, H, TXT_IN), jnp.float32))
+    text = jnp.asarray(rng.randn(n_con, TXT_IN), jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), feats, text)
+    out = np.asarray(fm.apply(variables, feats, text))
+    assert out.shape == (B, 21, IMG, IMG)
+    assert np.isfinite(out).all()
+    # max-agg: boosting one concept's text must only ever RAISE its class
+    # logits wherever that concept becomes the max, never change others
+    out2 = np.asarray(fm.apply(variables, feats,
+                               text.at[5].multiply(1.5)))
+    changed = np.abs(out2 - out).max(axis=(0, 2, 3)) > 1e-6
+    cls_of_5 = [c for c, idxs in c2c.items() if 5 in idxs]
+    assert changed[cls_of_5].any() or not changed.any()
