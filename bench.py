@@ -108,14 +108,22 @@ def main():
         ignore_mask_other=ign), mesh)
     key = replicate(jax.random.PRNGKey(0), mesh)
 
+    # NOTE: jax.block_until_ready does NOT wait for execution on this
+    # harness's remote TPU backend (measured round 2: a 1.1-TFLOP matmul
+    # "completed" in 40us under it). A device->host scalar fetch is the
+    # only reliable completion barrier; the device queue is in-order, so
+    # fetching from the last step times the whole chained run.
+    def fetch(x):
+        return float(jnp.ravel(x)[0].astype(jnp.float32))
+
     for _ in range(args.warmup):
         state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics['loss_all'])
+    fetch(metrics['loss_all'])
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics['loss_all'])
+    fetch(metrics['loss_all'])
     dt = time.perf_counter() - t0
 
     iters_per_sec = args.steps / dt

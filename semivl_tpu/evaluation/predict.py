@@ -14,8 +14,6 @@ The final bilinear resize to label size uses align_corners=True, matching
 mmseg.ops.resize in the reference (supervised.py:95-100).
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,11 +41,18 @@ def _np_softmax(x, axis):
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def _bucket(n, buckets=(1, 2, 4, 8, 16, 32)):
-    for b in buckets:
-        if n <= b:
-            return b
-    return int(math.ceil(n / buckets[-1])) * buckets[-1]
+def _chunk_sizes(n, max_chunk=32):
+    """Decompose n into descending power-of-two chunk sizes (each ≤
+    max_chunk), e.g. 7 -> [4, 2, 1], 33 -> [32, 1]. Each chunk size maps to
+    a cached jit specialisation; the decomposition is exact, so no padded
+    zero-crops are computed (the round-1 bucketing padded n up to the next
+    power of two — up to ~2x wasted forward compute on odd window counts)."""
+    sizes = []
+    while n > 0:
+        c = min(max_chunk, 1 << (n.bit_length() - 1))
+        sizes.append(c)
+        n -= c
+    return sizes
 
 
 class Evaluator:
@@ -76,17 +81,9 @@ class Evaluator:
     def update_params(self, params):
         self.params = params
 
-    def _forward(self, imgs):
-        """Run the model on a (n, h, w, 3) numpy crop batch -> (n, C, h, w)."""
-        shape = imgs.shape
-        n = _bucket(shape[0])
-        n = -(-n // self.world) * self.world  # multiple of mesh size
-        if n != shape[0]:
-            pad = np.zeros((n - shape[0],) + shape[1:], imgs.dtype)
-            batch = np.concatenate([imgs, pad])
-        else:
-            batch = imgs
-        key = (n,) + shape[1:]
+    def _run(self, batch):
+        """One fixed-shape jitted forward on an exactly-sized crop batch."""
+        key = batch.shape
         if key not in self._jit_cache:
             out_dtype = jnp.dtype(self.transfer_dtype)
 
@@ -100,9 +97,30 @@ class Evaluator:
                     fwd, in_shardings=(None, data_sharding, None))
             else:
                 self._jit_cache[key] = jax.jit(fwd)
-        logits = self._jit_cache[key](self.params, jnp.asarray(batch),
-                                      self.text)
-        return np.asarray(logits[:shape[0]]).astype(np.float32)
+        return self._jit_cache[key](self.params, jnp.asarray(batch),
+                                    self.text)
+
+    def _forward(self, imgs):
+        """Run the model on a (n, h, w, 3) numpy crop batch -> (n, C, h, w).
+
+        The batch is split into exact power-of-two chunks (shared jit
+        specialisations); only world-size alignment can add padded crops.
+        Chunks are dispatched back-to-back before any device->host transfer
+        so the device pipeline stays busy while logits stream out.
+        """
+        shape = imgs.shape
+        n = -(-shape[0] // self.world) * self.world  # multiple of mesh size
+        if n != shape[0]:
+            pad = np.zeros((n - shape[0],) + shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        max_chunk = -(-32 // self.world) * self.world
+        outs, off = [], 0
+        for c in _chunk_sizes(n // self.world, max_chunk // self.world):
+            c *= self.world
+            outs.append(self._run(imgs[off:off + c]))
+            off += c
+        logits = np.concatenate([np.asarray(o) for o in outs])
+        return logits[:shape[0]].astype(np.float32)
 
     # ---- predict modes (reference supervised.py:40-132) ----
 

@@ -9,6 +9,13 @@ labels (B, H, W) int with 255 = ignore. All reductions in float32.
 import jax
 import jax.numpy as jnp
 
+# 19-entry Cityscapes class-frequency weights used by the reference OHEM's
+# ``use_weight=True`` branch (third_party/unimatch/util/ohem.py:17-20).
+CITYSCAPES_OHEM_WEIGHT = (
+    0.8373, 0.918, 0.866, 1.0345, 1.0166, 0.9969, 0.9754, 1.0489,
+    0.8786, 1.0023, 0.9539, 0.9843, 1.1116, 0.9037, 1.0865, 1.0955,
+    1.0865, 1.1529, 1.0507)
+
 
 def _per_pixel_ce(logits, labels, ignore_index=255):
     """Per-pixel CE map (0 at ignored pixels) and the valid mask."""
@@ -33,7 +40,7 @@ def cross_entropy(logits, labels, ignore_index=255, reduction='mean'):
 
 
 def ohem_cross_entropy(logits, labels, ignore_index=255, thresh=0.7,
-                       min_kept=200000):
+                       min_kept=200000, weight=None):
     """Prob-threshold online hard example mining CE (reference ohem.py:8-57).
 
     Keeps pixels whose predicted prob of the true class is below a threshold;
@@ -41,6 +48,12 @@ def ohem_cross_entropy(logits, labels, ignore_index=255, thresh=0.7,
     Static-shape implementation: instead of indexing/sorting a dynamic set,
     compute the min_kept-th smallest true-class prob via a sorted gather and
     mask — identical selection, XLA-friendly.
+
+    ``weight``: optional (C,) per-class weights — the reference's
+    ``use_weight=True`` Cityscapes table (ohem.py:17-23). Matches torch's
+    weighted ``CrossEntropyLoss(reduction='mean')``: the loss over kept
+    pixels is a weighted sum normalised by the summed weights of those
+    pixels (not the pixel count).
     """
     logits32 = logits.astype(jnp.float32)
     valid = labels != ignore_index
@@ -59,6 +72,11 @@ def ohem_cross_entropy(logits, labels, ignore_index=255, thresh=0.7,
     keep = valid & (true_prob <= threshold)
 
     ce, _ = _per_pixel_ce(logits, labels, ignore_index)
-    ce = jnp.where(keep, ce, 0.0)
-    denom = jnp.maximum(jnp.sum(keep), 1)
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)[safe_labels]
+        ce = jnp.where(keep, ce * w, 0.0)
+        denom = jnp.maximum(jnp.sum(jnp.where(keep, w, 0.0)), 1e-12)
+    else:
+        ce = jnp.where(keep, ce, 0.0)
+        denom = jnp.maximum(jnp.sum(keep), 1)
     return jnp.where(num_valid > 0, jnp.sum(ce) / denom, 0.0)

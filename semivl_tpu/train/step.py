@@ -74,9 +74,14 @@ def _labeled_loss(cfg, logits, mask):
         return cross_entropy(logits, mask)
     if crit == 'OHEM':
         kwargs = cfg['criterion'].get('kwargs', {})
+        weight = None
+        if kwargs.get('use_weight', False):
+            # reference ohem.py:17-23: the 19-entry Cityscapes table
+            from semivl_tpu.losses.ce import CITYSCAPES_OHEM_WEIGHT
+            weight = CITYSCAPES_OHEM_WEIGHT
         return ohem_cross_entropy(
             logits, mask, thresh=kwargs.get('thresh', 0.7),
-            min_kept=kwargs.get('min_kept', 200000))
+            min_kept=kwargs.get('min_kept', 200000), weight=weight)
     if crit == 'mmseg':
         # SegLossPlus via the model's loss_decode (reference semivl.py:270)
         from semivl_tpu.losses.seg_loss_plus import seg_loss_plus

@@ -51,6 +51,7 @@ def test_blur_preserves_mean(rng):
     assert float(jnp.var(out)) < float(jnp.var(img))
 
 
+@pytest.mark.slow
 def test_strong_augment_batch(rng):
     imgs = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
     out1 = strong_augment(jax.random.PRNGKey(0), imgs)
@@ -66,6 +67,7 @@ def test_strong_augment_batch(rng):
     assert np.abs(np.asarray(out1[0]) - np.asarray(out1[1])).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_photometric_distortion_stats(rng):
     """Distribution-level parity with the host mmseg-style PMD: same image,
     many independent draws, per-channel output means agree."""

@@ -1,6 +1,7 @@
 """Cityscapes model family: VLM + ResNetV1c conv_encoder (skr04) with
 skip_from_conv_feat and pixelavg confidence mode, through the fused step."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,7 @@ from tiny_model import CLIP_DIM, EMB, tiny_backbone_cfg
 IMG, NCLS, WORLD = 64, 5, 8
 
 
+@pytest.mark.slow
 def test_skr04_semivl_step(rng):
     head = dict(
         type='VLGHead', img_size=IMG, num_classes=NCLS,

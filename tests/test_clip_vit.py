@@ -1,6 +1,7 @@
 """Encoder parity: Flax MaskClipViT vs a PyTorch replica of the reference
 math (maskclip_vit.py forward + forward_qkv), weight-for-weight."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -181,6 +182,7 @@ def test_encoder_pos_resize_and_padding(rng):
                                rtol=1e-3, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_skip_last_attn(rng):
     """maskclip_vit.py:542-546: final layer emits the v-path instead of the
     attention-mixed tokens. The dense clip embedding is computed from the

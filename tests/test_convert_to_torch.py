@@ -5,6 +5,7 @@ replicas elsewhere; composing exporter+importer and requiring an exact tree
 match therefore pins the exporter to the reference naming/layout too.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def _assert_trees_equal(a, b, path=''):
                 err_msg=f'{path}/{k}')
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip():
     variables = _init_tiny_variables()
     flat = export_vlm_checkpoint(variables)

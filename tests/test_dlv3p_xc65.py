@@ -1,5 +1,6 @@
 """dlv3p-xc65 build path (Xception DeepLabV3+ baseline)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from semivl_tpu.configs import config_from_vars
 from semivl_tpu.models.builder import build_model
 
 
+@pytest.mark.slow
 def test_dlv3p_xc65_builds_and_runs(rng):
     cfg = config_from_vars(
         exp_id=99, model='dlv3p-xc65', opt='original', lr=1e-3,

@@ -9,7 +9,7 @@ from semivl_tpu.evaluation.metrics import (
     intersection_and_union,
     miou_from_histograms,
 )
-from semivl_tpu.evaluation.predict import Evaluator, _bucket, evaluate
+from semivl_tpu.evaluation.predict import Evaluator, _chunk_sizes, evaluate
 
 from synth_data import make_synth_dataset, synth_cfg
 from tiny_model import tiny_bundle
@@ -42,9 +42,17 @@ def test_miou_perfect_prediction():
     assert miou == pytest.approx(100.0, abs=1e-6)
 
 
-def test_bucketing():
-    assert _bucket(1) == 1 and _bucket(3) == 4 and _bucket(9) == 16
-    assert _bucket(40) == 64
+def test_chunk_sizes():
+    # exact decomposition: no padded zero-crops, bounded jit-spec set
+    assert _chunk_sizes(1) == [1]
+    assert _chunk_sizes(3) == [2, 1]
+    assert _chunk_sizes(9) == [8, 1]
+    assert _chunk_sizes(40) == [32, 8]
+    assert _chunk_sizes(7, max_chunk=4) == [4, 2, 1]
+    for n in range(1, 100):
+        sizes = _chunk_sizes(n)
+        assert sum(sizes) == n
+        assert all(s & (s - 1) == 0 for s in sizes)
 
 
 @pytest.fixture(scope='module')
@@ -68,6 +76,7 @@ def tiny_eval(tmp_path_factory):
     ('original', None),
     ('center_crop', None),
 ])
+@pytest.mark.slow
 def test_eval_modes_run(tiny_eval, mode, stride):
     root, bundle, params = tiny_eval
     cfg = synth_cfg(root, crop_size=64)
@@ -84,6 +93,7 @@ def test_eval_modes_run(tiny_eval, mode, stride):
     assert iou_class.shape == (21,)
 
 
+@pytest.mark.slow
 def test_zegclip_window_count(tiny_eval):
     """Window grid matches the reference formula (supervised.py:74-75)."""
     root, bundle, params = tiny_eval

@@ -1,6 +1,7 @@
 """Learning-dynamics check: the full optimizer/step/model stack must be able
 to overfit a learnable target (guards against silent gradient breakage)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,7 @@ from semivl_tpu.train.step import (
 from tiny_model import tiny_bundle
 
 
+@pytest.mark.slow
 def test_overfits_learnable_target(rng):
     bundle = tiny_bundle(num_classes=5, img_size=64, with_mcc=False)
     text = bundle.text_feats

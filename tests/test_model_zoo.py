@@ -25,6 +25,7 @@ def test_timm_vit_contract(rng):
     assert y['feats'][0].shape == (1, 4, 4, 32)
 
 
+@pytest.mark.slow
 def test_deeplabv3plus_need_fp(rng):
     m = DeepLabV3Plus(num_classes=5, backbone='resnet50', axis_name=None)
     x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
@@ -39,6 +40,7 @@ def test_deeplabv3plus_need_fp(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_xception_shapes(rng):
     from semivl_tpu.models.xception import Xception65
     m = Xception65(axis_name=None)

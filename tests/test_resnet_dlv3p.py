@@ -1,6 +1,7 @@
 """ResNetV1c + DLV3P head tests: torch parity for the bottleneck math,
 BN running-stat updates, and the dlv3p model path through the train step."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def test_bn_stats_update(rng):
     assert np.abs(after - before).max() > 0
 
 
+@pytest.mark.slow
 def test_dlv3p_model_supervised_step(rng):
     """dlv3p ablation model (BN head) through the supervised train step on
     the 8-device mesh — exercises batch_stats threading + SyncBN."""

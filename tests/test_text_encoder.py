@@ -15,6 +15,7 @@ from semivl_tpu.text.text_encoder import (
 )
 
 
+@pytest.mark.slow
 def test_text_transformer_shapes(rng):
     m = CLIPTextTransformer(vocab_size=100, context_length=16, width=32,
                             layers=2, heads=4, embed_dim=24)

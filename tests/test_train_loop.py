@@ -34,6 +34,7 @@ def loop_cfg(tmp_path_factory):
     return cfg
 
 
+@pytest.mark.slow
 def test_full_semivl_loop(loop_cfg, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     best, save_path = train(loop_cfg, seed=0)

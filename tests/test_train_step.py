@@ -91,6 +91,7 @@ def synth_batch(rng, b):
         ignore_mask_other=ign)
 
 
+@pytest.mark.slow
 def test_semivl_step(mesh, setup, rng):
     bundle, cfg, tx, mask, state = setup
     # the step donates its input state; tests share the fixture, so step on
@@ -139,6 +140,7 @@ def test_semivl_step(mesh, setup, rng):
     assert np.isfinite(np.asarray(m2['loss_all']))
 
 
+@pytest.mark.slow
 def test_supervised_step(mesh, rng):
     bundle = tiny_bundle(num_classes=NCLS, img_size=IMG, with_mcc=False)
     img = jnp.zeros((1, IMG, IMG, 3))
@@ -161,6 +163,7 @@ def test_supervised_step(mesh, rng):
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_on_device_aug_and_ema_step(mesh, setup, rng):
     """semivl step with on-device strong augs and an EMA teacher."""
     bundle, cfg, tx, mask, state = setup
@@ -199,6 +202,7 @@ def test_on_device_aug_and_ema_step(mesh, setup, rng):
     assert np.abs(new_ema - new_param).max() > 1e-9     # but lags params
 
 
+@pytest.mark.slow
 def test_on_device_labeled_pmd_step(mesh, setup, rng):
     """uint8 labeled transport + on-device PhotoMetricDistortion
     (reference semi.py:79-82, Cityscapes labeled_photometric_distortion)."""
@@ -276,6 +280,7 @@ def test_param_paths():
     assert paths == {'a': {'b': 'a.b', 'c': {'d': 'a.c.d'}}}
 
 
+@pytest.mark.slow
 def test_unimatch_step_no_mcc(mesh, rng):
     """method='unimatch': the same fused step with the MaskCLIP-consistency
     branch off (reference: same semivl.py code path, SURVEY.md §2.1)."""

@@ -29,6 +29,7 @@ def rng():
     return np.random.RandomState(0)
 
 
+@pytest.mark.slow
 def test_tvit_vlm_builds_and_runs(rng):
     cfg = config_from_vars(
         exp_id=99, model='mmseg.vlm-dlv3p-bn11-sk4-ft-tvit-in1k', lr=1e-4,

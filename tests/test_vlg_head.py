@@ -1,6 +1,7 @@
 """VLG head parity: Flax VLGHead vs a PyTorch replica of the reference
 decoder math (model/decode_heads/vlg_head.py:140-251), weight-for-weight."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -201,6 +202,7 @@ def _convert(tm):
     return {'params': params}
 
 
+@pytest.mark.slow
 def test_vlg_head_parity(rng):
     torch.manual_seed(0)
     tm = TorchVLG().eval()
@@ -231,6 +233,7 @@ def test_vlg_head_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_vlg_head_concept_aggregation(rng):
     """Concept text (98 rows for VOC-21) runs 98 class planes through the
     decoder, then max-aggregates to 21 classes in-head (vlg_head.py:242-244

@@ -1,6 +1,7 @@
 """ZegCLIP path tests: VPT ViT contract, ATM head, SegLossPlus, and the
 mmseg-criterion semivl train step."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def _vpt_cfg():
                 total_d_layer=LAYERS - 1, out_indices=[LAYERS - 1])
 
 
+@pytest.mark.slow
 def test_vpt_vit_contract(rng):
     m = VPTCLIPVisionTransformer(
         input_resolution=IMG, patch_size=PATCH, width=W, layers=LAYERS,
@@ -43,6 +45,7 @@ def test_vpt_vit_contract(rng):
     assert any('prompt' in n for n in names)
 
 
+@pytest.mark.slow
 def test_atm_head_shapes(rng):
     head = ATMSingleHeadSeg(img_size=IMG, num_classes=N_CLS, in_channels=OUT,
                             embed_dims=OUT, num_layers=2, num_heads=2,
@@ -102,6 +105,7 @@ def test_seg_loss_plus_vs_torch_reference(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_zegclip_semivl_step(rng):
     """Full semivl step with criterion 'mmseg' (SegLossPlus) on the mesh."""
     from semivl_tpu.train.optim import build_optimizer
@@ -210,4 +214,43 @@ def test_ohem_matches_reference_semantics(rng):
             tgt_out = torch.where(valid & kept, tt, torch.tensor(255))
         want = float(F.cross_entropy(
             tp, tgt_out.view(B, H, H), ignore_index=255))
+        np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=str(min_kept))
+
+
+def test_ohem_use_weight_matches_torch(rng):
+    """use_weight=True branch (reference ohem.py:17-23): the 19-entry
+    Cityscapes table feeds a weighted CrossEntropyLoss whose 'mean' divides
+    by summed kept-pixel weights."""
+    from semivl_tpu.losses.ce import CITYSCAPES_OHEM_WEIGHT, ohem_cross_entropy
+
+    B, C, H = 2, 19, 12
+    pred = rng.randn(B, C, H, H).astype(np.float32)
+    target = rng.randint(0, C, (B, H, H)).astype(np.int64)
+    target[1, 5:] = 255
+
+    for min_kept in (25, 10_000):
+        got = float(ohem_cross_entropy(
+            jnp.asarray(pred), jnp.asarray(target.astype(np.int32)),
+            thresh=0.7, min_kept=min_kept,
+            weight=CITYSCAPES_OHEM_WEIGHT))
+
+        tp = torch.from_numpy(pred)
+        tt = torch.from_numpy(target).view(-1)
+        valid = tt.ne(255)
+        t0 = tt * valid.long()
+        tgt_out = tt.clone()
+        if min_kept <= valid.sum():
+            prob = F.softmax(tp, dim=1).permute(1, 0, 2, 3).reshape(C, -1)
+            prob = prob.masked_fill(~valid, 1)
+            mask_prob = prob[t0, torch.arange(len(t0))]
+            threshold = 0.7
+            index = mask_prob.argsort()
+            threshold_index = index[min(len(index), min_kept) - 1]
+            if mask_prob[threshold_index] > 0.7:
+                threshold = mask_prob[threshold_index]
+            kept = mask_prob.le(threshold)
+            tgt_out = torch.where(valid & kept, tt, torch.tensor(255))
+        want = float(F.cross_entropy(
+            tp, tgt_out.view(B, H, H), ignore_index=255,
+            weight=torch.tensor(CITYSCAPES_OHEM_WEIGHT)))
         np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=str(min_kept))
