@@ -17,14 +17,26 @@ CITYSCAPES_OHEM_WEIGHT = (
     1.0865, 1.1529, 1.0507)
 
 
+def _select_true_class(values, labels):
+    """values (B, C, H, W) gathered at labels (B, H, W) -> (B, H, W).
+
+    One-hot select instead of ``take_along_axis``: the channel-axis gather
+    (and the scatter in its VJP) lowers catastrophically on TPU — measured
+    33 ms fwd for a (8,21,512,512) CE call vs ~1 ms for this formulation
+    (bandwidth-bound compare+mask+reduce, whose VJP is the same mask).
+    """
+    classes = jnp.arange(values.shape[1], dtype=labels.dtype)
+    onehot = labels[:, None] == classes[None, :, None, None]
+    return jnp.sum(jnp.where(onehot, values, 0), axis=1)
+
+
 def _per_pixel_ce(logits, labels, ignore_index=255):
     """Per-pixel CE map (0 at ignored pixels) and the valid mask."""
     logits = logits.astype(jnp.float32)
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
     logz = jax.nn.logsumexp(logits, axis=1)
-    picked = jnp.take_along_axis(
-        logits, safe_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    picked = _select_true_class(logits, safe_labels)
     ce = jnp.where(valid, logz - picked, 0.0)
     return ce, valid
 
@@ -59,8 +71,7 @@ def ohem_cross_entropy(logits, labels, ignore_index=255, thresh=0.7,
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
     probs = jax.nn.softmax(logits32, axis=1)
-    true_prob = jnp.take_along_axis(
-        probs, safe_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    true_prob = _select_true_class(probs, safe_labels)
     # invalid pixels get prob 1.0 so they sort to the easy end
     true_prob = jnp.where(valid, true_prob, 1.0)
 
