@@ -20,6 +20,7 @@ Layout is NHWC; the class-plane folding keeps contractions MXU-shaped.
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from semivl_tpu.models.layers import TransformerBlock, l2_normalize
@@ -50,8 +51,10 @@ class ConvGNReLU(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     padding=((pad, pad), (pad, pad)), use_bias=self.use_bias,
                     name='conv', dtype=self.dtype, param_dtype=jnp.float32)(x)
+        # stats reduce in fp32 (flax default); normalised output stays in the
+        # compute dtype — halves the GN bandwidth on the bf16 path
         x = nn.GroupNorm(num_groups=self.features // 16, epsilon=1e-5,
-                         name='gn', dtype=jnp.float32,
+                         name='gn', dtype=self.dtype,
                          param_dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
 
@@ -103,9 +106,61 @@ def conv_transpose_2x2(x, kernel, bias):
     return out + bias.astype(x.dtype)
 
 
+class _SplitSkipConv(nn.Module):
+    """3x3 conv over concat([planes, skip-repeated-over-planes]) computed as
+    two convs on the kernel's channel slices.
+
+    Math-identical to concat+conv (convolution is linear in input channels),
+    but the skip half runs once per IMAGE instead of once per class plane —
+    a 1/N-fold FLOP cut on that slice (N = 21..150 planes) — and the
+    (B*N, H, W, skip_c) repeated-skip tensor is never materialised. The
+    single ``kernel`` param keeps the exact layout/naming the torch
+    checkpoint converter expects for the fused conv.
+    """
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        # x: (B*N, H, W, Cm); skip: (B, H, W, Cs)
+        cm, cs = x.shape[-1], skip.shape[-1]
+        n_rep = x.shape[0] // skip.shape[0]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cm + cs, self.features), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        dn = ('NHWC', 'HWIO', 'NHWC')
+        ym = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel[:, :, :cm], (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn)
+        ys = jax.lax.conv_general_dilated(
+            skip.astype(self.dtype), kernel[:, :, cm:], (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn)
+        b, h, w, _ = ys.shape
+        y = ym.reshape(b, n_rep, h, w, self.features) + ys[:, None]
+        return y.reshape(b * n_rep, h, w, self.features)
+
+
+class SplitConvGNReLU(nn.Module):
+    """ConvGNReLU whose conv consumes (planes, image-level skip) in split
+    form; the param tree ('conv/kernel', 'gn/{scale,bias}') matches
+    ``ConvGNReLU`` exactly, so checkpoints are interchangeable."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = _SplitSkipConv(self.features, dtype=self.dtype,
+                           name='conv')(x, skip)
+        x = nn.GroupNorm(num_groups=self.features // 16, epsilon=1e-5,
+                         name='gn', dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
 class Up(nn.Module):
     """Transposed-conv 2x upsample + skip concat + double conv
-    (reference vlg_head.py:116-137)."""
+    (reference vlg_head.py:116-137). The skip-concat conv is computed in
+    split form (see ``_SplitSkipConv``)."""
     out_channels: int
     skip_channels: int
     dtype: Dtype = jnp.float32
@@ -120,13 +175,13 @@ class Up(nn.Module):
                           jnp.float32)
         x = conv_transpose_2x2(x, kernel, bias)
         if skip is not None:
-            n_rep = x.shape[0] // skip.shape[0]
             skip = resize(skip, x.shape[1:3], mode='bilinear',
                           align_corners=True)
-            skip = jnp.repeat(skip, n_rep, axis=0)
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvGNReLU(self.out_channels, kernel=3, dtype=self.dtype,
-                       name='conv1')(x)
+            x = SplitConvGNReLU(self.out_channels, dtype=self.dtype,
+                                name='conv1')(x, skip)
+        else:
+            x = ConvGNReLU(self.out_channels, kernel=3, dtype=self.dtype,
+                           name='conv1')(x)
         x = ConvGNReLU(self.out_channels, kernel=3, dtype=self.dtype,
                        name='conv2')(x)
         return x

@@ -31,36 +31,31 @@ def _fetch_scalar(out):
     return float(jnp.ravel(leaf)[0].astype(jnp.float32))
 
 
-_RTT = [None]
-
-
-def measured_rtt():
-    """One-scalar fetch round-trip latency of the device link (~35 ms on
-    this tunnel), subtracted from batched-call timings."""
-    if _RTT[0] is None:
-        import jax
-        import jax.numpy as jnp
-        x = jnp.zeros((4, 4), jnp.float32)
-        s = jax.jit(lambda x: x[0, 0])
-        _fetch_scalar(s(x))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            _fetch_scalar(s(x))
-        _RTT[0] = (time.perf_counter() - t0) / 5
-    return _RTT[0]
-
-
-def timeit(fn, *args, warmup=2, iters=10):
+def timeit(fn, *args, warmup=2, iters=10, reps=3):
+    """Slope timing: run the enqueue-loop at ``iters`` and ``2*iters`` calls
+    (each ended by one scalar fetch) and take the difference — the tunnel
+    round-trip (~35 ms, fluctuating with load) cancels exactly. ``reps``
+    pairs are measured and the minimum slope returned (load spikes only ever
+    inflate a measurement)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
     _fetch_scalar(out)
-    rtt = measured_rtt()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch_scalar(out)
-    return (time.perf_counter() - t0 - rtt) / iters * 1e3
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        _fetch_scalar(o)
+        return time.perf_counter() - t0
+
+    best = float('inf')
+    for _ in range(reps):
+        t1 = run(iters)
+        t2 = run(2 * iters)
+        best = min(best, (t2 - t1) / iters)
+    return best * 1e3
 
 
 def main():
