@@ -76,7 +76,16 @@ class Evaluator:
         # this dev harness, tunnel-relay) traffic at ~3-decimal-digit cost
         # in the canvas accumulation
         self.transfer_dtype = cfg.get('eval_transfer_dtype', 'float32')
+        # device-side canvas accumulation + finalize: only the final uint8
+        # argmax map crosses the device->host link (~100x less traffic than
+        # shipping per-crop logit tensors). Resize/count weights are runtime
+        # ARGUMENTS and canvas/output shapes are padded to buckets, so jit
+        # specialisations don't multiply with image shapes.
+        self.device_accumulate = bool(cfg.get('eval_device_accumulate', True))
         self._jit_cache = {}
+        # device-resident constants (resize weights, inverse-count maps)
+        # keyed by image/mask geometry — repeated shapes skip the upload
+        self._const_cache = {}
 
     def update_params(self, params):
         self.params = params
@@ -122,16 +131,117 @@ class Evaluator:
         logits = np.concatenate([np.asarray(o) for o in outs])
         return logits[:shape[0]].astype(np.float32)
 
+    # ---- device-side canvas accumulation ----
+    #
+    # The round-1 host path shipped every crop's full (C, crop, crop) logit
+    # map to the host (overlapping windows transferred ~2-3x the canvas
+    # area; a 2-crop VOC image moved ~44 MB). The device path scatter-adds
+    # logits into an fp32 canvas on device and transfers only the final
+    # uint8 argmax map (~0.4 MB). Resize weights / inverse-count maps are
+    # runtime arguments and canvas/output shapes are padded to 128-multiple
+    # buckets, so the number of jit specialisations stays bounded across
+    # arbitrary val-image shapes.
+
+    @staticmethod
+    def _ceil128(v):
+        return -(-int(v) // 128) * 128
+
+    def _zeros(self, shape):
+        key = ('zeros', shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda: jnp.zeros(shape, jnp.float32))
+        return self._jit_cache[key]()
+
+    def _acc_group(self, canvas, img_dev, n, ch, cw, ys, xs, softmax):
+        """canvas (C, Hp, Wp) fp32 += scatter of model outputs on ``n``
+        (ch, cw) crops sliced on-device from the padded image at (ys, xs).
+
+        Slicing on device means each image uploads once, not once per
+        overlapping window (2-3x less host->device traffic)."""
+        key = ('acc', n, ch, cw, canvas.shape, img_dev.shape, softmax)
+        if key not in self._jit_cache:
+            def fn(params, text, canvas, img, ys, xs):
+                def get(y, x):
+                    return jax.lax.dynamic_slice(
+                        img, (0, y, x, 0), (1, ch, cw, 3))[0]
+
+                crops = jax.vmap(get)(ys, xs)
+                logits = self.module.apply(params, crops, text)
+                vals = logits.astype(jnp.float32)
+                if softmax:
+                    vals = jax.nn.softmax(vals, axis=1)
+
+                def body(i, cv):
+                    pos = (0, ys[i], xs[i])
+                    patch = jax.lax.dynamic_slice(
+                        cv, pos, (cv.shape[0], ch, cw))
+                    return jax.lax.dynamic_update_slice(
+                        cv, patch + vals[i], pos)
+
+                return jax.lax.fori_loop(0, n, body, canvas)
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._jit_cache[key](
+            self.params, self.text, canvas, img_dev,
+            jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32))
+
+    def _accumulate(self, canvas, img, coords, ch, cw, softmax):
+        """Chunked scatter-accumulate of same-shaped windows into canvas.
+
+        ``img``: (1, H, W, 3) numpy; uploaded once, zero-padded to the
+        canvas bucket so slice programs don't specialise on exact shapes.
+        """
+        hp, wp = canvas.shape[1:]
+        pad = np.zeros((1, hp, wp, 3), img.dtype)
+        pad[:, :img.shape[1], :img.shape[2]] = img
+        img_dev = jnp.asarray(pad)
+        off = 0
+        for c in _chunk_sizes(len(coords)):
+            ys = [coords[off + i][0] for i in range(c)]
+            xs = [coords[off + i][1] for i in range(c)]
+            canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys, xs,
+                                     softmax)
+            off += c
+        return canvas
+
+    def _finalize_resize_argmax(self, canvas, inv_count, wh, ww):
+        """(canvas * inv_count) bilinear-resized via weight matmuls, then
+        per-pixel argmax -> (Ho, Wo) uint8 on device."""
+        key = ('fin', canvas.shape, wh.shape, ww.shape)
+        if key not in self._jit_cache:
+            def fn(canvas, inv_count, wh, ww):
+                c = canvas * inv_count
+                t = jnp.einsum('oh,chw->cow', wh, c)
+                r = jnp.einsum('pw,cow->cop', ww, t)
+                return jnp.argmax(r, axis=0).astype(jnp.uint8)
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._jit_cache[key](canvas, jnp.asarray(inv_count),
+                                    jnp.asarray(wh), jnp.asarray(ww))
+
+    def _finalize_argmax(self, canvas):
+        key = ('finargmax', canvas.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda c: jnp.argmax(c, axis=0).astype(jnp.uint8),
+                donate_argnums=(0,))
+        return self._jit_cache[key](canvas)
+
     # ---- predict modes (reference supervised.py:40-132) ----
 
     def predict(self, img, mask_shape, mode, return_logits=False):
         """img: (1, H, W, 3) numpy. Returns (1, h_mask, w_mask) int preds;
         with ``return_logits`` also the accumulated score map (reference
         supervised.py:129-132 / eval.py:47)."""
+        device = (self.device_accumulate and self.world == 1
+                  and not return_logits)
         if mode == 'zegclip_sliding_window':
-            out = self._zegclip_sliding(img, mask_shape)
+            out = (self._zegclip_sliding_device(img, mask_shape) if device
+                   else self._zegclip_sliding(img, mask_shape))
         elif mode == 'sliding_window':
-            out = self._sliding(img, mask_shape)
+            out = (self._sliding_device(img, mask_shape) if device
+                   else self._sliding(img, mask_shape))
         elif mode == 'padded_sliding_window':
             out = self._padded_sliding(img, mask_shape)
         elif mode in ('original', 'center_crop'):
@@ -146,12 +256,9 @@ class Evaluator:
             raise ValueError(mode)
         return out if return_logits else out[0]
 
-    def _zegclip_sliding(self, img, mask_shape):
-        """Edge-aligned grid, logits averaged by visit count, resized to the
-        label size with align_corners=True (supervised.py:69-102)."""
+    def _zegclip_coords(self, h_img, w_img):
         crop = self.cfg['crop_size']
         stride = self.cfg['stride']
-        _, h_img, w_img, _ = img.shape
         h_grids = max(h_img - crop + stride - 1, 0) // stride + 1
         w_grids = max(w_img - crop + stride - 1, 0) // stride + 1
         coords = []
@@ -160,6 +267,86 @@ class Evaluator:
                 y1 = min(hi * stride + crop, h_img) - crop
                 x1 = min(wi * stride + crop, w_img) - crop
                 coords.append((max(y1, 0), max(x1, 0)))
+        return coords
+
+    def _zegclip_sliding_device(self, img, mask_shape):
+        """Device-side variant of ``_zegclip_sliding``: same math, but the
+        canvas accumulation, count division, bilinear resize and argmax all
+        run on device; only a (Ho, Wo) uint8 map is transferred."""
+        crop = self.cfg['crop_size']
+        _, h_img, w_img, _ = img.shape
+        coords = self._zegclip_coords(h_img, w_img)
+        hp, wp = self._ceil128(h_img), self._ceil128(w_img)
+        canvas = self._zeros((self.nclass, hp, wp))
+        canvas = self._accumulate(canvas, img, coords, crop, crop,
+                                  softmax=False)
+
+        h_m, w_m = mask_shape
+        ckey = ('fin_consts', h_img, w_img, h_m, w_m)
+        if ckey not in self._const_cache:
+            if len(self._const_cache) > 64:
+                self._const_cache.clear()
+            count = np.zeros((h_img, w_img), np.float32)
+            for y, x in coords:
+                count[y:y + crop, x:x + crop] += 1
+            assert (count == 0).sum() == 0
+            inv_count = np.zeros((1, hp, wp), np.float32)
+            inv_count[0, :h_img, :w_img] = 1.0 / count
+
+            ho, wo = self._ceil128(h_m), self._ceil128(w_m)
+            wh = np.zeros((ho, hp), np.float32)
+            wh[:h_m, :h_img] = np.asarray(_axis_weights(
+                h_m, h_img, 'bilinear', True, 'float32'))
+            ww = np.zeros((wo, wp), np.float32)
+            ww[:w_m, :w_img] = np.asarray(_axis_weights(
+                w_m, w_img, 'bilinear', True, 'float32'))
+            self._const_cache[ckey] = (jnp.asarray(inv_count),
+                                       jnp.asarray(wh), jnp.asarray(ww))
+        inv_count, wh, ww = self._const_cache[ckey]
+        pred = np.asarray(
+            self._finalize_resize_argmax(canvas, inv_count, wh, ww))
+        return pred[None, :h_m, :w_m].astype(np.int64), None
+
+    def _sliding_device(self, img, mask_shape):
+        """Device-side variant of ``_sliding`` (Cityscapes softmax-sum):
+        per-shape crop groups scatter softmax probs into the canvas; only
+        the uint8 argmax map is transferred."""
+        grid = self.cfg['crop_size']
+        _, h, w, _ = img.shape
+        assert tuple(mask_shape) == (h, w)
+        stride = int(grid * 2 / 3)
+        shapes = {}
+        row = 0
+        while row < h:
+            col = 0
+            while col < w:
+                y2, x2 = min(h, row + grid), min(w, col + grid)
+                sh = (y2 - row, x2 - col)
+                shapes.setdefault(sh, []).append((row, col))
+                col += stride
+            row += stride
+        hp, wp = self._ceil128(h), self._ceil128(w)
+        canvas = self._zeros((self.nclass, hp, wp))
+        pad = np.zeros((1, hp, wp, 3), img.dtype)
+        pad[:, :h, :w] = img
+        img_dev = jnp.asarray(pad)
+        for (ch, cw), coords in shapes.items():
+            off = 0
+            for c in _chunk_sizes(len(coords)):
+                ys = [coords[off + i][0] for i in range(c)]
+                xs = [coords[off + i][1] for i in range(c)]
+                canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys, xs,
+                                         softmax=True)
+                off += c
+        pred = np.asarray(self._finalize_argmax(canvas))
+        return pred[None, :h, :w].astype(np.int64), None
+
+    def _zegclip_sliding(self, img, mask_shape):
+        """Edge-aligned grid, logits averaged by visit count, resized to the
+        label size with align_corners=True (supervised.py:69-102)."""
+        crop = self.cfg['crop_size']
+        _, h_img, w_img, _ = img.shape
+        coords = self._zegclip_coords(h_img, w_img)
         crops = np.concatenate([img[:, y:y + crop, x:x + crop]
                                 for y, x in coords])
         logits = self._forward(crops)  # (n, C, crop, crop)

@@ -94,6 +94,30 @@ def test_eval_modes_run(tiny_eval, mode, stride):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize('mode', ['zegclip_sliding_window', 'sliding_window'])
+def test_device_accumulate_matches_host(tiny_eval, mode, rng):
+    """The device-side canvas/finalize path must reproduce the host path's
+    predictions exactly (same fp32 math: scatter-add, count division,
+    matmul resize, argmax)."""
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    img = rng.randn(1, 106, 117, 3).astype(np.float32)
+    mask_shape = (106, 117) if mode == 'sliding_window' else (97, 111)
+
+    cfg_dev = dict(cfg, eval_device_accumulate=True)
+    cfg_host = dict(cfg, eval_device_accumulate=False)
+    ev_dev = Evaluator(bundle.module, params, bundle.text_feats, cfg_dev)
+    ev_host = Evaluator(bundle.module, params, bundle.text_feats, cfg_host)
+    pred_dev = ev_dev.predict(img, mask_shape, mode)
+    pred_host = ev_host.predict(img, mask_shape, mode)
+    assert pred_dev.shape == pred_host.shape == (1,) + mask_shape
+    agree = (pred_dev == pred_host).mean()
+    assert agree >= 0.999, agree
+
+
+@pytest.mark.slow
 def test_zegclip_window_count(tiny_eval):
     """Window grid matches the reference formula (supervised.py:74-75)."""
     root, bundle, params = tiny_eval
