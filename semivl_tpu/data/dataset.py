@@ -140,25 +140,26 @@ class SemiDataset:
             if self.labeled_photometric_distortion:
                 img = T.photometric_distortion(img, rs)
             if self.strong_aug_on_device:
-                # uint8 transport; normalisation happens in-graph
+                # uint8 transport (image AND label — class ids fit a byte);
+                # normalisation/int32 cast happen in-graph
                 return dict(img_u8=np.asarray(img, np.uint8),
-                            mask=np.asarray(mask, np.int32))
+                            mask=np.asarray(mask, np.uint8))
             return dict(img=T.normalize(img), mask=np.asarray(mask, np.int32))
 
         # train_u: weak + 2 strong views (semi.py:85-107)
         mask_np_early = np.asarray(mask, np.int32)
         if self.strong_aug_on_device:
-            # ship one uint8 crop (4x less host->device traffic than fp32);
-            # the fused step derives both strong views and all
-            # normalisations in-graph (ops/augment.py)
+            # compact transport: one uint8 crop (4x less host->device
+            # traffic than fp32), a uint8 ignore map, and CutMix boxes as
+            # (y, x, h, w) coords rasterised in-graph; the fused step
+            # derives both strong views and all normalisations on device
+            # (ops/augment.py, train/step.py)
             return dict(
                 img_raw=np.asarray(img, np.uint8),
                 ignore_mask=np.where(mask_np_early == 254, 255, 0)
-                .astype(np.int32),
-                cutmix_box1=T.obtain_cutmix_box(self.size, rs)
                 .astype(np.uint8),
-                cutmix_box2=T.obtain_cutmix_box(self.size, rs)
-                .astype(np.uint8))
+                cutmix_box1=T.obtain_cutmix_box_coords(self.size, rs),
+                cutmix_box2=T.obtain_cutmix_box_coords(self.size, rs))
 
         img_s1, img_s2 = img, img
         if rs.random_sample() < 0.8:

@@ -139,12 +139,13 @@ def random_blur(img, rs, p=0.5):
     return img
 
 
-def obtain_cutmix_box(img_size, rs, p=0.5, size_min=0.02, size_max=0.4,
-                      ratio_1=0.3, ratio_2=1 / 0.3):
-    """Sample a CutMix box mask (reference transform.py:66-84)."""
-    mask = np.zeros((img_size, img_size), dtype=np.float32)
+def obtain_cutmix_box_coords(img_size, rs, p=0.5, size_min=0.02,
+                             size_max=0.4, ratio_1=0.3, ratio_2=1 / 0.3):
+    """Sample CutMix box coords (y, x, h, w) — same draws in the same order
+    as the reference mask sampler (transform.py:66-84), so the distribution
+    (and the per-sample RNG stream) is identical. (0, 0, 0, 0) = no box."""
     if rs.random_sample() > p:
-        return mask
+        return np.zeros(4, np.int32)
     size = rs.uniform(size_min, size_max) * img_size * img_size
     while True:
         ratio = rs.uniform(ratio_1, ratio_2)
@@ -154,7 +155,16 @@ def obtain_cutmix_box(img_size, rs, p=0.5, size_min=0.02, size_max=0.4,
         y = rs.randint(0, img_size)
         if x + cutmix_w <= img_size and y + cutmix_h <= img_size:
             break
-    mask[y:y + cutmix_h, x:x + cutmix_w] = 1
+    return np.asarray([y, x, cutmix_h, cutmix_w], np.int32)
+
+
+def obtain_cutmix_box(img_size, rs, p=0.5, size_min=0.02, size_max=0.4,
+                      ratio_1=0.3, ratio_2=1 / 0.3):
+    """Sample a CutMix box mask (reference transform.py:66-84)."""
+    y, x, h, w = obtain_cutmix_box_coords(img_size, rs, p, size_min,
+                                          size_max, ratio_1, ratio_2)
+    mask = np.zeros((img_size, img_size), dtype=np.float32)
+    mask[y:y + h, x:x + w] = 1
     return mask
 
 

@@ -67,16 +67,14 @@ def _rgb_to_hsv(x):
 
 
 def _hsv_to_rgb(h, s, v):
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1 - s)
-    q = v * (1 - s * f)
-    t = v * (1 - s * (1 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode='clip')
-    g = jnp.choose(i, [t, v, v, q, p, p], mode='clip')
-    b = jnp.choose(i, [p, p, t, v, v, q], mode='clip')
-    return jnp.stack([r, g, b], axis=-1)
+    # branchless formulation (f(n) = v - v*s*clip(min(k, 4-k), 0, 1) with
+    # k = (n + 6h) mod 6): pure VPU arithmetic. The previous jnp.choose
+    # sextet lowered to gathers costing ~25 ms per 2x512^2 batch on TPU.
+    def chan(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def _adjust_hue(x, f):
@@ -96,20 +94,25 @@ def _color_jitter_one(rng, img, brightness=0.5, contrast=0.5, saturation=0.5,
                             maxval=1 + saturation)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
 
-    ops = [lambda im: jnp.clip(_adjust_brightness(im, fb), 0.0, 1.0),
-           lambda im: jnp.clip(_adjust_contrast(im, fc), 0.0, 1.0),
-           lambda im: jnp.clip(_adjust_saturation(im, fs), 0.0, 1.0),
-           lambda im: _adjust_hue(im, fh)]
-
-    def run_perm(perm):
-        def f(im):
-            for idx in perm:
-                im = ops[idx](im)
-            return im
-        return f
-
+    # Random op order, evaluated as 4 sequential stages each selecting one
+    # of the 4 ops. Same composition semantics (and the same RNG stream) as
+    # a lax.switch over all 24 permutations, but under vmap the switch
+    # evaluates EVERY branch for the whole batch — 96 op applications per
+    # sample (measured 404 ms for a 2x512^2 batch); this form does 16.
     perm_idx = jax.random.randint(kp, (), 0, len(_PERMS))
-    return jax.lax.switch(perm_idx, [run_perm(p) for p in _PERMS], img)
+    perm = jnp.asarray(np.asarray(_PERMS, np.int32))[perm_idx]
+
+    def stage(im, op_id):
+        outs = jnp.stack([
+            jnp.clip(_adjust_brightness(im, fb), 0.0, 1.0),
+            jnp.clip(_adjust_contrast(im, fc), 0.0, 1.0),
+            jnp.clip(_adjust_saturation(im, fs), 0.0, 1.0),
+            _adjust_hue(im, fh)])
+        return outs[op_id]
+
+    for s in range(4):
+        img = stage(img, perm[s])
+    return img
 
 
 def _gaussian_blur_one(rng, img, taps=13):

@@ -12,6 +12,8 @@ Single-process remains the default; ``setup_multihost`` activates
 """
 
 import os
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import numpy as np
@@ -64,3 +66,37 @@ def global_batch_to_device(batch, mesh):
         out[k] = jax.make_array_from_process_local_data(
             sharding, np.asarray(v), global_shape)
     return out
+
+
+def device_prefetch(batch_iter, mesh, depth=2, to_device=None):
+    """Overlap host->device batch transfer with device compute.
+
+    Yields ``(host_batch, device_batch)`` pairs; up to ``depth`` batches
+    are transferred ahead on a background thread, so the (potentially slow)
+    host->device link streams while the previous step executes — the
+    JAX-side equivalent of the reference DataLoader's ``pin_memory`` +
+    async ``.cuda()`` copies. ``to_device`` maps a host batch to device
+    arrays (default: ``global_batch_to_device`` on the mesh).
+    """
+    if to_device is None:
+        def to_device(b):
+            return global_batch_to_device(b, mesh)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = deque()
+
+        def submit():
+            try:
+                host = next(batch_iter)
+            except StopIteration:
+                return False
+            pending.append((host, pool.submit(to_device, host)))
+            return True
+
+        for _ in range(depth):
+            if not submit():
+                break
+        while pending:
+            host, fut = pending.popleft()
+            submit()
+            yield host, fut.result()

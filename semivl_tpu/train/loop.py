@@ -277,41 +277,61 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
             break
         logger.info('===========> Epoch: %d, LR: %.5f, Previous best: %.2f',
                     epoch, float(sched(int(state.step))), previous_best)
+        from semivl_tpu.parallel.mesh import (
+            device_prefetch, global_batch_to_device)
         if method in ('semivl', 'unimatch'):
-            batches = zip(loader_l.epoch(epoch), loader_u.epoch(epoch))
-        else:
-            batches = loader_l.epoch(epoch)
+            raw_batches = zip(loader_l.epoch(epoch), loader_u.epoch(epoch))
 
-        for i, batch in enumerate(batches):
+            def to_device(pair):
+                bl, bu = pair
+                db = {'img_x': bl.get('img', bl.get('img_u8')),
+                      'mask_x': bl['mask'],
+                      # the step consumes only the non-other CutMix boxes
+                      **{k: v for k, v in bu.items()
+                         if not (k.startswith('cutmix_box')
+                                 and k.endswith('_other'))}}
+                return global_batch_to_device(db, mesh)
+
+            batches = device_prefetch(raw_batches, mesh,
+                                      to_device=to_device)
+        else:
+            batches = device_prefetch(loader_l.epoch(epoch), mesh)
+
+        epoch_start_step = int(state.step)  # one device fetch per epoch
+        pending_metrics, iter_times = [], []
+        for i, (host_batch, device_batch) in enumerate(batches):
             t0 = time.time()
             # jax.profiler trace window (SURVEY.md §5: reference has none)
-            if cfg.get('profile_dir') and int(state.step) == cfg.get(
+            cur_step = epoch_start_step + i
+            if cfg.get('profile_dir') and cur_step == cfg.get(
                     'profile_start_step', 10):
                 jax.profiler.start_trace(cfg['profile_dir'])
-            if cfg.get('profile_dir') and int(state.step) == cfg.get(
+            if cfg.get('profile_dir') and cur_step == cfg.get(
                     'profile_start_step', 10) + cfg.get('profile_steps', 5):
                 jax.profiler.stop_trace()
             if method in ('semivl', 'unimatch'):
-                bl, bu = batch
-                device_batch = {
-                    'img_x': bl.get('img', bl.get('img_u8')),
-                    'mask_x': bl['mask'],
-                    **{k: v for k, v in bu.items()},
-                }
-            else:
-                device_batch = batch
-            from semivl_tpu.parallel.mesh import global_batch_to_device
-            device_batch = global_batch_to_device(device_batch, mesh)
+                bl, bu = host_batch
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, device_batch,
                                      replicate(step_rng, mesh))
-            iters = int(state.step) - 1
-            metrics = {f'train/{k}': float(v) for k, v in
-                       jax.tree.map(np.asarray, metrics).items()}
-            metrics['train/iter_time'] = time.time() - t0
-            log_avg.update(metrics)
+            # Track the global step on host and defer metric fetches to the
+            # logging window: per-step scalar device->host reads would
+            # serialise the prefetch pipeline (and cost one link round-trip
+            # per scalar on remote-attached devices).
+            iters = epoch_start_step + i
+            pending_metrics.append(metrics)
+            iter_times.append(time.time() - t0)
 
             if i % 100 == 0:
+                stacked = {
+                    f'train/{k}': float(np.asarray(jnp.stack(
+                        [m[k] for m in pending_metrics]).astype(
+                            jnp.float32)).mean())
+                    for k in pending_metrics[0]}
+                stacked['train/iter_time'] = float(np.mean(iter_times))
+                pending_metrics.clear()
+                iter_times.clear()
+                log_avg.update(stacked)
                 logger.info('Iters: %d %s', i, str(log_avg))
                 if writer is not None:
                     for k, v in log_avg.avgs.items():
@@ -340,7 +360,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 for sig, h in prev_handlers.items():
                     signal.signal(sig, h)
                 return previous_best, save_path
-            if int(state.step) >= total_iters:
+            if iters + 1 >= total_iters:
                 done = True
                 break
 

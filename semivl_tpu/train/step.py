@@ -49,6 +49,31 @@ def cutmix_mask(mask, mask_other, box):
     return jnp.where(box == 1, mask_other, mask)
 
 
+def cutmix_box_from_coords(coords, hw):
+    """(B, 4) int32 (y, x, h, w) coords -> (B, hw, hw) {0,1} float masks.
+
+    Compact-transport form of the host-sampled CutMix boxes (the full-res
+    box mask is pure transfer waste: 256 KB vs 16 B per box)."""
+    y, x, h, w = (coords[:, i][:, None, None] for i in range(4))
+    yy = jnp.arange(hw)[None, :, None]
+    xx = jnp.arange(hw)[None, None, :]
+    return ((yy >= y) & (yy < y + h) & (xx >= x) & (xx < x + w)).astype(
+        jnp.float32)
+
+
+def _unpack_compact(batch):
+    """Int32-cast byte-transported label maps and rasterise coord boxes."""
+    batch = dict(batch)
+    hw = batch['mask_x'].shape[1]
+    for k in ('mask_x', 'ignore_mask', 'ignore_mask_other'):
+        if k in batch and batch[k].dtype != jnp.int32:
+            batch[k] = batch[k].astype(jnp.int32)
+    for k in ('cutmix_box1', 'cutmix_box2'):
+        if k in batch and batch[k].ndim == 2:
+            batch[k] = cutmix_box_from_coords(batch[k], hw)
+    return batch
+
+
 def _softmax_conf_label(logits):
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
     return jnp.max(probs, axis=1), jnp.argmax(probs, axis=1).astype(jnp.int32)
@@ -147,6 +172,7 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
 
     def step_fn(state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+        batch = _unpack_compact(batch)
         b = batch['mask_x'].shape[0]
 
         if on_device_aug:
@@ -298,6 +324,9 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
 
     def step_fn(state, batch, rng):
         del rng
+        batch = dict(batch)
+        if batch['mask'].dtype != jnp.int32:  # uint8 label transport
+            batch['mask'] = batch['mask'].astype(jnp.int32)
         has_bn = 'batch_stats' in state.params
 
         def loss_fn(params):
