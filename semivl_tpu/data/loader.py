@@ -58,8 +58,13 @@ class ShardedLoader:
             return a, b
         return self.dataset.get(item, epoch)
 
-    def epoch(self, epoch):
-        """Yield global batches for one epoch."""
+    def epoch(self, epoch, start_step=0):
+        """Yield global batches for one epoch.
+
+        ``start_step``: skip the first N batches without producing them —
+        exact mid-epoch resume (the permutation depends only on
+        ``(seed, epoch)``, so the resumed stream is identical to the
+        uninterrupted one)."""
         per_rank_idx = epoch_permutation(
             len(self.dataset), epoch, self.world, self.seed, self.shuffle)
         steps = len(self)
@@ -71,7 +76,8 @@ class ShardedLoader:
              for r in range(rank_lo, rank_lo + local)
              for j in range(self.batch_size)]
             for s in range(steps)
-        ]
+        ][start_step:]
+        steps = len(batches)
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             pending = deque()

@@ -36,12 +36,17 @@ class CheckpointManager:
         return payload
 
     def save(self, name, state, extra: Optional[dict] = None):
-        """``state``: TrainState; ``extra``: small JSON-able scalars."""
+        """``state``: TrainState; ``extra``: small JSON-able scalars.
+
+        Multi-host: call from EVERY process (orbax saves involve
+        cross-process barriers; the primary host writes the arrays)."""
         path = self._slot(name)
         self._ckptr.save(path, self._payload(state), force=True)
         self._ckptr.wait_until_finished()
-        with open(path + '.extra.json', 'w') as f:
-            json.dump({k: float(v) for k, v in (extra or {}).items()}, f)
+        import jax
+        if jax.process_index() == 0:
+            with open(path + '.extra.json', 'w') as f:
+                json.dump({k: float(v) for k, v in (extra or {}).items()}, f)
 
     def restore(self, name, state):
         """Restore into the structure of ``state``; returns (state, extra)."""

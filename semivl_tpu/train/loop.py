@@ -61,13 +61,29 @@ def _maybe_multihost(logger):
     return pidx, pcount
 
 
-def setup_run_dir(cfg, args_dict, logger):
+def _make_run_name(cfg):
     timestr = datetime.now().strftime('%y%m%d-%H%M')
     uid = str(uuid.uuid4())[:5]
-    run_name = f'{timestr}_{cfg["name"]}_v{__version__}_{uid}'.replace('.', '-')
+    return f'{timestr}_{cfg["name"]}_v{__version__}_{uid}'.replace('.', '-')
+
+
+def _broadcast_run_name(run_name, maxlen=160):
+    """All hosts must share one run dir: broadcast main's name (the
+    timestamp/uuid parts differ per process otherwise)."""
+    from jax.experimental import multihost_utils
+    buf = np.frombuffer(run_name.encode()[:maxlen].ljust(maxlen), np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).decode().strip()
+
+
+def setup_run_dir(cfg, args_dict, logger, run_name=None, is_main=True):
+    if run_name is None:
+        run_name = _make_run_name(cfg)
     save_path = os.path.join('exp', f'exp-{cfg["exp"]}', run_name)
     os.makedirs(save_path, exist_ok=True)
     add_file_handler(logger, os.path.join(save_path, 'debug.log'))
+    if not is_main:
+        return run_name, save_path
     all_args = {**cfg, **args_dict, 'run_name': run_name,
                 'save_path': save_path, 'exec_version': __version__,
                 'n_devices': len(jax.devices())}
@@ -188,14 +204,28 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
     if resume_from:
         save_path = resume_from
         run_name = os.path.basename(os.path.normpath(resume_from))
+        os.makedirs(save_path, exist_ok=True)
         add_file_handler(logger, os.path.join(save_path, 'debug.log'))
         logger.info('Resuming run dir %s', save_path)
     else:
-        run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger)
+        run_name = _make_run_name(cfg)
+        if pcount > 1:
+            run_name = _broadcast_run_name(run_name)
+        run_name, save_path = setup_run_dir(cfg, args_dict or {}, logger,
+                                            run_name=run_name,
+                                            is_main=is_main)
     writer = MetricWriter(save_path) if is_main else None
     mesh = make_mesh(cfg)
     world = mesh.devices.size
     logger.info('Data mesh: %d device(s): %s', world, mesh.devices.ravel())
+    if pcount > 1:
+        # Establish the cross-host collective context (gloo on CPU, ICI/DCN
+        # on TPU pods) while all processes sit at the same early point:
+        # the first collective otherwise happens only after each host's
+        # model compile, and hosts that compile slower than the transport's
+        # connect timeout (~30 s) would abort the rendezvous.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('semivl:pre_build')
 
     bundle = build_model(cfg, dtype=jnp.dtype(cfg.get('dtype', 'float32')))
 
@@ -242,17 +272,37 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
     ckpt = CheckpointManager(save_path)
     previous_best = 0.0
     start_epoch = 0
+    resume_skip = 0  # batches already consumed in start_epoch (mid-epoch)
     if ckpt.exists('latest'):
         state, extra = ckpt.restore('latest', state)
-        start_epoch = int(extra.get('epoch', -1)) + 1
+        # Host copies: the replicate() below is then a local upload on every
+        # process. Restored arrays are committed to specific devices, and a
+        # device_put from those onto the global mesh would be a (CPU/DCN-
+        # unsupported) cross-host transfer in multi-process runs.
+        state = jax.device_get(state)
+        saved_epoch = int(extra.get('epoch', -1))
+        resume_skip = int(extra.get('epoch_step', 0))
+        # epoch_step > 0: the save happened mid-epoch (preemption) — resume
+        # INSIDE that epoch at the exact batch boundary. The loader's
+        # permutation depends only on (seed, epoch) and the step RNG only
+        # on the global step, so the resumed run is bit-identical to an
+        # uninterrupted one.
+        start_epoch = saved_epoch if resume_skip > 0 else saved_epoch + 1
         previous_best = float(extra.get('previous_best', 0.0))
-        logger.info('Resumed from epoch %d (best %.2f)', start_epoch,
-                    previous_best)
+        logger.info('Resumed at epoch %d, epoch step %d (best %.2f)',
+                    start_epoch, resume_skip, previous_best)
 
     state = replicate(state, mesh)
+    # Multi-process: each host evaluates its strided share of the val set
+    # on its LOCAL devices (global-mesh eval outputs are not addressable
+    # per-process); the per-class histograms are reduced globally inside
+    # ``evaluate`` via process_allgather (reference supervised.py:154-156).
     evaluator = Evaluator(bundle.module, None, bundle.text_feats, cfg,
-                          mesh=mesh)
-    rng = jax.random.PRNGKey(seed + 1234)
+                          mesh=mesh if pcount == 1 else None)
+    # Per-step RNG = fold_in(base, global_step): stateless, so mid-epoch
+    # resume reproduces the exact key stream of an uninterrupted run (a
+    # split chain could not be fast-forwarded).
+    base_rng = jax.random.PRNGKey(seed + 1234)
 
     # Preemption safety (the reference loses the run on any interruption —
     # SURVEY.md §5): SIGTERM/SIGINT request a 'latest' checkpoint at the
@@ -272,6 +322,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
     log_avg = DictAverageMeter()
     done = False
+    step_warmed = False  # multi-host: compile-then-barrier before step 1
     for epoch in range(start_epoch, cfg['epochs']):
         if done:
             break
@@ -279,13 +330,24 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                     epoch, float(sched(int(state.step))), previous_best)
         from semivl_tpu.parallel.mesh import (
             device_prefetch, global_batch_to_device)
+        skip = resume_skip if epoch == start_epoch else 0
+        n_local_dev = world // pcount  # this host's share of the mesh
+
+        def preempt_arr():
+            # local SIGTERM/SIGINT flag, one entry per local device so the
+            # global array shards 1-per-device over the data axis
+            return np.full((n_local_dev,),
+                           float(preempted['flag']), np.float32)
+
         if method in ('semivl', 'unimatch'):
-            raw_batches = zip(loader_l.epoch(epoch), loader_u.epoch(epoch))
+            raw_batches = zip(loader_l.epoch(epoch, start_step=skip),
+                              loader_u.epoch(epoch, start_step=skip))
 
             def to_device(pair):
                 bl, bu = pair
                 db = {'img_x': bl.get('img', bl.get('img_u8')),
                       'mask_x': bl['mask'],
+                      'preempt': preempt_arr(),
                       # the step consumes only the non-other CutMix boxes
                       **{k: v for k, v in bu.items()
                          if not (k.startswith('cutmix_box')
@@ -295,7 +357,12 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
             batches = device_prefetch(raw_batches, mesh,
                                       to_device=to_device)
         else:
-            batches = device_prefetch(loader_l.epoch(epoch), mesh)
+            def to_device_sup(b):
+                return global_batch_to_device(
+                    {**b, 'preempt': preempt_arr()}, mesh)
+
+            batches = device_prefetch(loader_l.epoch(epoch, start_step=skip),
+                                      mesh, to_device=to_device_sup)
 
         epoch_start_step = int(state.step)  # one device fetch per epoch
         pending_metrics, iter_times = [], []
@@ -311,7 +378,19 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 jax.profiler.stop_trace()
             if method in ('semivl', 'unimatch'):
                 bl, bu = host_batch
-            rng, step_rng = jax.random.split(rng)
+            step_rng = jax.random.fold_in(base_rng, cur_step)
+            if pcount > 1 and not step_warmed:
+                # Compile-then-barrier: hosts whose first-step compile is
+                # slower than the collective transport's connect window
+                # (~30 s for gloo; finite for ICI/DCN rendezvous too) would
+                # otherwise abort the first step's collective. AOT-compile
+                # (populates the persistent cache), then rendezvous, so
+                # every host dispatches step 1 near-simultaneously.
+                from jax.experimental import multihost_utils
+                step_fn.lower(state, device_batch,
+                              replicate(step_rng, mesh)).compile()
+                multihost_utils.sync_global_devices('semivl:step_compiled')
+                step_warmed = True
             state, metrics = step_fn(state, device_batch,
                                      replicate(step_rng, mesh))
             # Track the global step on host and defer metric fetches to the
@@ -327,7 +406,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                     f'train/{k}': float(np.asarray(jnp.stack(
                         [m[k] for m in pending_metrics]).astype(
                             jnp.float32)).mean())
-                    for k in pending_metrics[0]}
+                    for k in pending_metrics[0] if k != 'preempt_count'}
                 stacked['train/iter_time'] = float(np.mean(iter_times))
                 pending_metrics.clear()
                 iter_times.clear()
@@ -348,13 +427,39 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                         cfg, bundle, state, bl, bu, save_path, iters, logger)
                 except Exception as exc:
                     logger.warning('debug images failed: %s', exc)
-            if preempted['flag'] and is_main:
+            # Fault injection (SURVEY.md §5 — absent in the reference):
+            # simulate a preemption signal arriving on THIS host right
+            # after the given global step; exercised by the resume and
+            # multi-host tests.
+            if cfg.get('preempt_at_step') is not None \
+                    and cur_step == int(cfg['preempt_at_step']):
+                preempted['flag'] = True
+            # Preemption: single-process acts on the local flag at once;
+            # multi-process reaches consensus through the in-step psum'd
+            # flag, checked at IDENTICAL global steps on every host — all
+            # hosts therefore stop at the same boundary (a host stopping
+            # alone would strand the others in the next step's collectives).
+            # The scalar fetch waits for that step, so the check cadence
+            # bounds both the pipeline stall and the exit latency.
+            stop = False
+            if pcount == 1:
+                stop = preempted['flag']
+            elif cur_step % int(cfg.get('preempt_check_every', 10)) == 0:
+                stop = float(np.asarray(metrics['preempt_count']).astype(
+                    np.float32)) > 0
+            if stop:
+                # Every process participates in the save: orbax performs
+                # cross-process barriers internally (main-only saving
+                # deadlocks under jax.distributed — verified); the primary
+                # host does the writing.
                 host_state = jax.device_get(state)
                 ckpt.save('latest', host_state,
-                          extra={'epoch': epoch - 1,
+                          extra={'epoch': epoch,
+                                 'epoch_step': skip + i + 1,
                                  'previous_best': previous_best})
                 logger.info('Preemption signal: saved latest checkpoint at '
-                            'step %d, exiting.', int(state.step))
+                            'step %d (epoch %d, epoch step %d), exiting.',
+                            cur_step + 1, epoch, skip + i + 1)
                 if writer is not None:
                     writer.close()
                 for sig, h in prev_handlers.items():
@@ -387,15 +492,15 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
             is_best = miou > previous_best
             previous_best = max(miou, previous_best)
-            if is_main:
-                host_state = jax.device_get(state)
-                ckpt.save('latest', host_state,
+            # collective save on all processes (see preemption note above)
+            host_state = jax.device_get(state)
+            ckpt.save('latest', host_state,
+                      extra={'epoch': epoch,
+                             'previous_best': previous_best})
+            if is_best:
+                ckpt.save('best', host_state,
                           extra={'epoch': epoch,
                                  'previous_best': previous_best})
-                if is_best:
-                    ckpt.save('best', host_state,
-                              extra={'epoch': epoch,
-                                     'previous_best': previous_best})
 
     if writer is not None:
         writer.close()

@@ -173,6 +173,13 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
     def step_fn(state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
         batch = _unpack_compact(batch)
+        # Multi-host preemption consensus: each host feeds its local SIGTERM
+        # flag; the psum rides the existing collective program, so every
+        # host reads the SAME global count at a given step and all hosts
+        # stop at the same boundary (a straggler that kept enqueueing while
+        # others stopped would hang in this very collective).
+        preempt_count = (jax.lax.psum(jnp.sum(batch.pop('preempt')), 'data')
+                         if 'preempt' in batch else None)
         b = batch['mask_x'].shape[0]
 
         if on_device_aug:
@@ -296,6 +303,8 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads['params'], 'data')
         metrics = jax.lax.pmean(metrics, 'data')
+        if preempt_count is not None:
+            metrics['preempt_count'] = preempt_count
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params['params'])
@@ -325,6 +334,8 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
     def step_fn(state, batch, rng):
         del rng
         batch = dict(batch)
+        preempt_count = (jax.lax.psum(jnp.sum(batch.pop('preempt')), 'data')
+                         if 'preempt' in batch else None)
         if batch['mask'].dtype != jnp.int32:  # uint8 label transport
             batch['mask'] = batch['mask'].astype(jnp.int32)
         has_bn = 'batch_stats' in state.params
@@ -345,6 +356,8 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads['params'], 'data')
         metrics = jax.lax.pmean(metrics, 'data')
+        if preempt_count is not None:
+            metrics['preempt_count'] = preempt_count
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params['params'])
         new_inner = optax.apply_updates(state.params['params'], updates)
