@@ -85,6 +85,37 @@ def _base_cfg(root, paths, method, epochs):
     return cfg
 
 
+def _read_curve(save_path, n_present=len(CLASS_COLORS)):
+    """Parse metrics.jsonl -> per-epoch (mIoU, present-class mIoU).
+
+    The blob task uses classes 0..n_present-1 of the 21-class tiny model;
+    'present mIoU' averages only those, removing the 16-absent-class
+    dilution from the headline number."""
+    import json as _json
+
+    from semivl_tpu.datasets.classes import CLASSES
+    present = [f'eval/{CLASSES["pascal"][i]}_IoU' for i in range(n_present)]
+    by_epoch = {}
+    with open(os.path.join(save_path, 'metrics.jsonl')) as f:
+        for line in f:
+            rec = _json.loads(line)
+            keys = [k for k in rec if k not in ('t', 'step')]
+            if not keys:
+                continue
+            k = keys[0]
+            if k == 'eval/mIoU' or k in present:
+                by_epoch.setdefault(rec['step'], {})[k] = rec[k]
+    curve = []
+    for ep in sorted(by_epoch):
+        row = by_epoch[ep]
+        if 'eval/mIoU' not in row:
+            continue
+        pres = [row[k] for k in present if k in row]
+        curve.append((ep, row['eval/mIoU'],
+                      sum(pres) / len(pres) if pres else float('nan')))
+    return curve
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--out-root', default='/tmp/semi_effect_demo')
@@ -95,6 +126,7 @@ def main():
                         help='supervised epochs (1 iter/epoch at 2 labeled '
                              'bs2) chosen to match total steps')
     parser.add_argument('--semi-epochs', type=int, default=6)
+    parser.add_argument('--eval-every', type=int, default=1)
     parser.add_argument('--seed', type=int, default=0)
     args = parser.parse_args()
     import jax
@@ -108,13 +140,23 @@ def main():
     os.makedirs(args.out_root, exist_ok=True)
     os.chdir(args.out_root)
 
-    results = {}
+    results, curves = {}, {}
     for method, epochs in (('supervised', args.sup_epochs),
                            ('semivl', args.semi_epochs)):
         cfg = _base_cfg(ds_root, paths, method, epochs)
+        cfg['eval_every_n_epochs'] = args.eval_every
         best, save_path = train(cfg, seed=args.seed)
         results[method] = best
+        curves[method] = _read_curve(save_path)
         print(f'[semi-effect] {method}: best mIoU {best:.2f} ({save_path})')
+
+    # matched-step learning curves: supervised epochs are 1 iter each at
+    # this dataset geometry, semivl epochs are n_unlabeled/world iters
+    print('[semi-effect] learning curves (epoch, mIoU, present-class mIoU):')
+    for method, curve in curves.items():
+        for ep, miou, pres in curve:
+            print(f'[curve] {method} epoch={ep} miou={miou:.2f} '
+                  f'present_miou={pres:.2f}')
 
     gain = results['semivl'] - results['supervised']
     print(f'[semi-effect] supervised={results["supervised"]:.2f} '
