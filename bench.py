@@ -35,8 +35,11 @@ def main():
     parser.add_argument('--steps', type=int, default=30)
     parser.add_argument('--warmup', type=int, default=5)
     parser.add_argument('--dtype', default='bfloat16')
-    parser.add_argument('--attention', default='pallas',
-                        choices=['xla', 'pallas'])
+    parser.add_argument('--attention', default='auto',
+                        choices=['auto', 'xla', 'pallas'],
+                        help="'auto': XLA fused attention below 1536 tokens"
+                             ', Pallas flash kernel above (measured '
+                             'crossover, ops/attention.py)')
     parser.add_argument('--mode', default='train', choices=['train', 'eval'],
                         help="'eval' benchmarks zegclip sliding-window "
                              'inference FPS instead of the train step')

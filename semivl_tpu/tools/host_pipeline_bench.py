@@ -69,7 +69,7 @@ def main():
     args = parser.parse_args()
 
     from semivl_tpu.ops.attention import set_default_impl
-    set_default_impl('pallas')
+    set_default_impl('auto')
 
     import jax
     cache_dir = os.path.join(

@@ -48,13 +48,15 @@ def test_flash_gradients_match(rng):
 def test_dispatch_switch(rng):
     from semivl_tpu.ops import attention as attn_mod
     q = jnp.asarray(rng.randn(1, 16, 16), jnp.float32)
-    assert attn_mod.get_default_impl() == 'xla'
+    # Default 'auto' routes short sequences (< _AUTO_PALLAS_MIN_LEN) to XLA.
+    assert attn_mod.get_default_impl() == 'auto'
+    assert q.shape[1] < attn_mod._AUTO_PALLAS_MIN_LEN
     out_xla = multi_head_attention(q, q, q, 4)
     attn_mod.set_default_impl('pallas')
     try:
         out_p = multi_head_attention(q, q, q, 4)
     finally:
-        attn_mod.set_default_impl('xla')
+        attn_mod.set_default_impl('auto')
     np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_p),
                                rtol=2e-5, atol=2e-5)
 
