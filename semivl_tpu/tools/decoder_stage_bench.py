@@ -13,23 +13,38 @@ Usage: python -m semivl_tpu.tools.decoder_stage_bench [--batch 14] [--n 21]
 """
 
 import argparse
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), '.jax_cache')
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _CACHE)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
+
+def _fetch(tree):
+    """Completion barrier: block_until_ready does NOT wait on this
+    harness's remote TPU backend (bench.py:122-128); a device->host scalar
+    fetch is the only reliable sync. The queue is in-order, so fetching
+    from the last call times the whole run."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.ravel(leaf)[0].astype(jnp.float32))
+
 
 def _time(fn, *args, iters=20, warmup=3):
     fn_j = jax.jit(fn)
-    out = fn_j(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(fn_j(*args))
+    for _ in range(warmup):
+        out = fn_j(*args)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn_j(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / iters
 
 
