@@ -1,0 +1,63 @@
+"""Parity: fused Pallas Up-stage kernel vs the flax `Up` module.
+
+The fused kernel (ops/fused_up.py) must reproduce models/vlg_head.py `Up`
+(ConvTranspose -> split skip-concat conv -> GN -> ReLU -> conv -> GN ->
+ReLU; reference model/decode_heads/vlg_head.py:116-137) exactly, so the
+two decoder paths are checkpoint- and math-interchangeable.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semivl_tpu.models.vlg_head import Up
+from semivl_tpu.ops.fused_up import fused_up_stage
+
+
+def _run_pair(b, n, h, w, cin, up_c_skip, cout, dtype, seed=0):
+    skip_c = up_c_skip
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b * n, h, w, cin), dtype)
+    skip = jnp.asarray(rng.randn(b, 2 * h, 2 * w, skip_c), dtype)
+
+    module = Up(cout, skip_c, dtype=dtype)
+    variables = module.init(jax.random.PRNGKey(0), x, skip)
+    # randomise GN affine + biases so the test is not identity-blind
+    params = variables['params']
+    params = jax.tree.map(
+        lambda p: p + 0.1 * jnp.asarray(
+            np.random.RandomState(1).randn(*p.shape), p.dtype), params)
+    variables = {'params': params}
+
+    ref = module.apply(variables, x, skip)
+
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
+    skip_cf = jnp.transpose(skip, (0, 3, 1, 2))
+    out_cf = fused_up_stage(x_cf, skip_cf, params, interpret=True)
+    out = jnp.transpose(out_cf, (0, 2, 3, 1))
+    return np.asarray(ref, np.float32), np.asarray(out, np.float32)
+
+
+@pytest.mark.quick
+def test_fused_up_matches_flax_fp32():
+    # up2-like geometry at reduced size: 64ch -> 32ch, 16x16 -> 32x32
+    ref, out = _run_pair(2, 3, 16, 16, 64, 16, 32, jnp.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_fused_up_matches_flax_up1_geometry():
+    # up1-like: cin=128, skip 32, out 64
+    ref, out = _run_pair(1, 2, 16, 16, 128, 32, 64, jnp.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_up_matches_flax_bf16():
+    ref, out = _run_pair(1, 2, 16, 16, 64, 16, 32, jnp.bfloat16)
+    # bf16 rounding differs (flax casts conv output before GN either way);
+    # tolerance covers accumulated bf16 ulps across two convs + 2 GNs
+    np.testing.assert_allclose(out, ref, rtol=0.1, atol=0.12)
+    # and the bulk must agree tightly
+    err = np.abs(out - ref)
+    assert np.mean(err) < 0.01, np.mean(err)
