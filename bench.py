@@ -167,7 +167,7 @@ def _bench_eval(args, cfg, bundle):
         jnp.asarray(bundle.mcc_text_feats), method='init_variables')
     cfg = dict(cfg)
     cfg['eval_transfer_dtype'] = 'bfloat16'  # halve D2H logit traffic
-    ev = Evaluator(bundle.module, variables, bundle.text_feats, cfg,
+    ev = Evaluator(bundle.module_fwd, variables, bundle.text_feats, cfg,
                    mesh=mesh)
     rs = np.random.RandomState(0)
     # typical VOC val geometry after min-512 resize

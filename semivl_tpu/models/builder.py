@@ -8,6 +8,7 @@ in, ``ModelBundle`` out (Flax module + device-constant text embeddings).
 import dataclasses
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,6 +92,7 @@ def build_head(cfg, dtype):
             conv1_ksize=cfg.get('conv1_ksize', 7),
             align_corners=cfg.get('align_corners', False),
             text_embedding_name=cfg.get('text_embedding_name', ''),
+            decoder_kernel=cfg.get('decoder_kernel', 'xla'),
             dtype=dtype)
     if kind == 'DLV3PHead':
         from semivl_tpu.models.dlv3p_head import DLV3PHead
@@ -133,6 +135,14 @@ class ModelBundle:
     model_cfg: dict                   # resolved architecture config
     freeze_backbone: bool = False
     exclude_keys: Optional[list] = None
+    # Same params, decoder routed through the fused Pallas up-stage
+    # kernel — for forward-only passes (teacher pseudo-labels, eval).
+    # Equals ``module`` when the head has no fused path.
+    module_fwd: Any = None
+
+    def __post_init__(self):
+        if self.module_fwd is None:
+            self.module_fwd = self.module
 
 
 def build_model(cfg, dtype=jnp.float32):
@@ -213,7 +223,19 @@ def build_model(cfg, dtype=jnp.float32):
         mcc_text_embedding_name=mcc_text_name,
         dtype=dtype)
 
+    # Forward-only decoder variant: same param tree, Up stages + head
+    # fused into one Pallas program per class plane (ops/fused_up.py).
+    # 'auto' enables it on TPU only (the kernel interprets on CPU).
+    fwd_kernel = cfg.get('decoder_fwd_kernel', 'auto')
+    if fwd_kernel == 'auto':
+        fwd_kernel = 'fused' if jax.default_backend() == 'tpu' else 'xla'
+    module_fwd = None
+    if fwd_kernel == 'fused' and model['decode_head']['type'] == 'VLGHead':
+        module_fwd = module.clone(decode_head_cfg={
+            **model['decode_head'], 'decoder_kernel': 'fused'})
+
     return ModelBundle(
+        module_fwd=module_fwd,
         module=module,
         text_feats=text_feats,
         mcc_text_feats=mcc_text_feats,

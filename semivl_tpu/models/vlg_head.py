@@ -157,6 +157,50 @@ class SplitConvGNReLU(nn.Module):
         return nn.relu(x).astype(self.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares conv params (same names/shapes/inits as ``nn.Conv`` /
+    ``_SplitSkipConv``) without running the op — lets the fused Pallas
+    decoder path (ops/fused_up.py) share one checkpoint-compatible param
+    tree with the XLA path."""
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        out = {'kernel': self.param('kernel', nn.initializers.lecun_normal(),
+                                    self.shape, jnp.float32)}
+        if self.use_bias:
+            out['bias'] = self.param('bias', nn.initializers.zeros,
+                                     (self.shape[-1],), jnp.float32)
+        return out
+
+
+class _GNParams(nn.Module):
+    """GroupNorm scale/bias declaration matching ``nn.GroupNorm``."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {'scale': self.param('scale', nn.initializers.ones,
+                                    (self.features,), jnp.float32),
+                'bias': self.param('bias', nn.initializers.zeros,
+                                   (self.features,), jnp.float32)}
+
+
+class _ConvGNParams(nn.Module):
+    """(Split)ConvGNReLU param tree ('conv/kernel', 'gn/{scale,bias}')
+    without the ops — the shell's param paths are identical to the XLA
+    modules', so both decoder paths load the same checkpoints."""
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return {'conv': _ConvParams((3, 3, self.in_ch, self.features),
+                                    name='conv')(),
+                'gn': _GNParams(self.features, name='gn')()}
+
+
 class Up(nn.Module):
     """Transposed-conv 2x upsample + skip concat + double conv
     (reference vlg_head.py:116-137). The skip-concat conv is computed in
@@ -165,8 +209,39 @@ class Up(nn.Module):
     skip_channels: int
     dtype: Dtype = jnp.float32
 
+    def _fused_apply(self, x_cf, skip_nhwc, head_params):
+        """Forward through the fused Pallas up-stage kernel
+        (ops/fused_up.py) on channel-first planes; declares the exact
+        same param tree as the XLA branch. Inference/teacher path only
+        (the kernel has no custom VJP yet)."""
+        from semivl_tpu.ops.fused_up import fused_up_stage
+        c = x_cf.shape[1]
+        up_c = c - self.skip_channels
+        params = {
+            'up_kernel': self.param('up_kernel',
+                                    nn.initializers.lecun_normal(),
+                                    (2, 2, c, up_c), jnp.float32),
+            'up_bias': self.param('up_bias', nn.initializers.zeros,
+                                  (up_c,), jnp.float32),
+        }
+        cs = skip_nhwc.shape[-1]
+        params['conv1'] = _ConvGNParams(self.out_channels, up_c + cs,
+                                        name='conv1')()
+        params['conv2'] = _ConvGNParams(self.out_channels,
+                                        self.out_channels, name='conv2')()
+        h2 = 2 * x_cf.shape[2]
+        w2 = 2 * x_cf.shape[3]
+        skip = resize(skip_nhwc, (h2, w2), mode='bilinear',
+                      align_corners=True)
+        skip_cf = jnp.transpose(skip, (0, 3, 1, 2)).astype(x_cf.dtype)
+        return fused_up_stage(x_cf, skip_cf, params,
+                              head_params=head_params)
+
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, skip=None, fused=False, head_params=None):
+        if fused:
+            # x: (P, C, h, w) channel-first; skip: NHWC at any resolution
+            return self._fused_apply(x, skip, head_params)
         c = x.shape[-1]
         up_c = c - self.skip_channels
         kernel = self.param('up_kernel', nn.initializers.lecun_normal(),
@@ -243,6 +318,10 @@ class VLGHead(nn.Module):
     conv1_ksize: int = 7
     align_corners: bool = False
     text_embedding_name: str = ''  # for concept aggregation lookup
+    # 'xla' | 'fused': 'fused' routes the Up stages + head through the
+    # fused Pallas kernel (ops/fused_up.py) — forward-only paths
+    # (teacher pass, eval); param tree is identical either way.
+    decoder_kernel: str = 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -306,16 +385,30 @@ class VLGHead(nn.Module):
             projected_skips.append(nn.relu(s))
 
         x = x.reshape(b * n, h, w, self.channels)
-        x = Up(self.up_channels[0], self.skip_channels[0], dtype=self.dtype,
-               name='up1')(x, projected_skips[0])
-        x = Up(self.up_channels[1], self.skip_channels[1], dtype=self.dtype,
-               name='up2')(x, projected_skips[1])
+        if self.decoder_kernel == 'fused':
+            head_p = _ConvParams((3, 3, self.up_channels[1], 1),
+                                 use_bias=True, name='head')()
+            x_cf = jnp.transpose(x, (0, 3, 1, 2))
+            x_cf = Up(self.up_channels[0], self.skip_channels[0],
+                      dtype=self.dtype, name='up1')(
+                          x_cf, projected_skips[0], fused=True)
+            x_cf = Up(self.up_channels[1], self.skip_channels[1],
+                      dtype=self.dtype, name='up2')(
+                          x_cf, projected_skips[1], fused=True,
+                          head_params=head_p)
+            oh, ow = x_cf.shape[2:4]
+            x = x_cf.reshape(b, n, oh, ow)
+        else:
+            x = Up(self.up_channels[0], self.skip_channels[0],
+                   dtype=self.dtype, name='up1')(x, projected_skips[0])
+            x = Up(self.up_channels[1], self.skip_channels[1],
+                   dtype=self.dtype, name='up2')(x, projected_skips[1])
 
-        # 5. per-plane head (190, 239-240)
-        x = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name='head',
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
-        oh, ow = x.shape[1:3]
-        x = x.reshape(b, n, oh, ow)
+            # 5. per-plane head (190, 239-240)
+            x = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name='head',
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            oh, ow = x.shape[1:3]
+            x = x.reshape(b, n, oh, ow)
 
         # 6. concept -> class aggregation (242-244)
         if n != self.num_classes:

@@ -127,19 +127,27 @@ def _conv_gn_relu_pass(w_parts, write, read, gmat, gn_scale, gn_bias,
 
 
 def _up_fused_kernel(t_ref, skip_ref, w1p_ref, w1s_ref, g1s_ref, g1b_ref,
-                     w2_ref, g2s_ref, g2b_ref, gmat_ref, o_ref,
-                     *scratch, up_c, cs, cout, H, W, tr, eps, cdt):
+                     w2_ref, g2s_ref, g2b_ref, gmat_ref, *rest,
+                     up_c, cs, cout, H, W, tr, eps, cdt, fuse_head):
+    if fuse_head:
+        wh_ref, hb_ref, o_ref = rest[:3]
+        scratch = rest[3:]
+    else:
+        o_ref = rest[0]
+        scratch = rest[1:]
     hw = H * W
     # one copy per distinct (row*W mod 128) offset so every row-tap slice
     # is 128-aligned (misaligned loads get rotated lane layouts that
     # concatenate refuses to mix)
+    n_bufs = 4 if fuse_head else 3
     c1pad = scratch[2]
-    t_pair, sk_pair, c1_pair = (tuple(scratch[i::3]) for i in range(3))
+    pairs = [tuple(scratch[i::n_bufs]) for i in range(n_bufs)]
+    t_pair, sk_pair, c1_pair = pairs[:3]
     _store_plane(t_pair, t_ref[0].astype(cdt), hw, W, cdt)
     _store_plane(sk_pair, skip_ref[0].astype(cdt), hw, W, cdt)
 
     def write_c1(o0, rows, val):
-        if rows == H:  # final normalised plane -> both aligned copies
+        if rows == H:  # final normalised plane -> all aligned copies
             _store_plane(c1_pair, val, hw, W, cdt)
         else:
             c1pad[:, _PAD + o0 * W:_PAD + (o0 + rows) * W] = val
@@ -150,13 +158,36 @@ def _up_fused_kernel(t_ref, skip_ref, w1p_ref, w1s_ref, g1s_ref, g1b_ref,
         write_c1, lambda: c1pad[:, _PAD:_PAD + hw],
         gmat, g1s_ref[:], g1b_ref[:], H, W, tr, eps, cdt)
 
-    def write_out(o0, rows, val):
-        o_ref[0, :, o0 * W:(o0 + rows) * W] = val
+    if not fuse_head:
+        def write_out(o0, rows, val):
+            o_ref[0, :, o0 * W:(o0 + rows) * W] = val
+
+        _conv_gn_relu_pass(
+            [(c1_pair, w2_ref[:])],
+            write_out, lambda: o_ref[0],
+            gmat, g2s_ref[:], g2b_ref[:], H, W, tr, eps, cdt)
+        return
+
+    # head fused: conv2's normalised plane goes to scratch copies, then
+    # the per-plane 1-channel head conv (reference vlg_head.py:190,239)
+    # writes the only HBM output — the (H, W) logit plane.
+    c2_pair = pairs[3]
+    c2pad = c2_pair[0]
+
+    def write_c2(o0, rows, val):
+        if rows == H:
+            _store_plane(c2_pair, val, hw, W, cdt)
+        else:
+            c2pad[:, _PAD + o0 * W:_PAD + (o0 + rows) * W] = val
 
     _conv_gn_relu_pass(
         [(c1_pair, w2_ref[:])],
-        write_out, lambda: o_ref[0],
+        write_c2, lambda: c2pad[:, _PAD:_PAD + hw],
         gmat, g2s_ref[:], g2b_ref[:], H, W, tr, eps, cdt)
+    hb = hb_ref[0, 0]
+    for k in range(H // tr):
+        acc = _conv3x3_flat_tile(c2_pair, wh_ref[:], k * tr, tr, W)
+        o_ref[0, :, k * tr * W:(k + 1) * tr * W] = (acc + hb).astype(cdt)
 
 
 def pack_up_params(params, cdt):
@@ -195,12 +226,16 @@ def _transpose_conv_flat(x, kernel, bias, cdt):
     return t.astype(cdt).reshape(p, up_c, 4 * h * w)
 
 
-def fused_up_stage(x, skip, params, *, interpret=None):
+def fused_up_stage(x, skip, params, *, head_params=None, interpret=None):
     """Fused Up block on channel-first plane tensors.
 
     x: (P, Cin, h, w) — P = B * num_planes; skip: (B, Cs, 2h, 2w) already
     resized to the output resolution. Returns (P, Cout, 2h, 2w) in x.dtype.
     Math identical to models/vlg_head.py `Up` (bf16 rounding aside).
+
+    head_params ({'kernel': (3,3,Cout,1), 'bias': (1,)}, optional): fuse
+    the per-plane 1-channel head conv as a kernel epilogue — the (Cout,
+    H, W) activation never reaches HBM and the output is (P, 1, 2h, 2w).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
@@ -230,29 +265,43 @@ def fused_up_stage(x, skip, params, *, interpret=None):
         (ci[:, None] // gsize == ci[None, :] // gsize),
         jnp.float32) / (hw * gsize)
 
+    fuse_head = head_params is not None
+    operands = [t_flat, skip_flat, w1p, w1s, g1s, g1b, w2, g2s, g2b, gmat]
+    const = lambda *shape: pl.BlockSpec(shape, lambda pi: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, up_c, hw), lambda pi: (pi, 0, 0)),
+        pl.BlockSpec((1, cs, hw), lambda pi: (pi // n, 0, 0)),
+        const(cout, 9 * up_c), const(cout, 9 * cs),
+        const(cout, 1), const(cout, 1),
+        const(cout, 9 * cout), const(cout, 1), const(cout, 1),
+        const(cout, cout),
+    ]
+    ch_list = (up_c, cs, cout)
+    c_out_planes = cout
+    if fuse_head:
+        wh = jnp.transpose(head_params['kernel'], (3, 1, 0, 2)).reshape(
+            1, 9 * cout).astype(cdt)
+        hb = head_params['bias'].reshape(1, 1).astype(jnp.float32)
+        operands += [wh, hb]
+        in_specs += [const(1, 9 * cout), const(1, 1)]
+        ch_list = (up_c, cs, cout, cout)
+        c_out_planes = 1
+
     kernel = functools.partial(
         _up_fused_kernel, up_c=up_c, cs=cs, cout=cout, H=H, W=W,
-        tr=tr, eps=1e-5, cdt=cdt)
-    const = lambda *shape: pl.BlockSpec(shape, lambda pi: (0,) * len(shape))
+        tr=tr, eps=1e-5, cdt=cdt, fuse_head=fuse_head)
     out = pl.pallas_call(
         kernel,
         grid=(p,),
-        in_specs=[
-            pl.BlockSpec((1, up_c, hw), lambda pi: (pi, 0, 0)),
-            pl.BlockSpec((1, cs, hw), lambda pi: (pi // n, 0, 0)),
-            const(cout, 9 * up_c), const(cout, 9 * cs),
-            const(cout, 1), const(cout, 1),
-            const(cout, 9 * cout), const(cout, 1), const(cout, 1),
-            const(cout, cout),
-        ],
-        out_specs=pl.BlockSpec((1, cout, hw), lambda pi: (pi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, cout, hw), cdt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, c_out_planes, hw), lambda pi: (pi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, c_out_planes, hw), cdt),
         scratch_shapes=[
             pltpu.VMEM((ch, hw + 2 * _PAD + (n_copies - 1) * W), cdt)
-            for ch in (up_c, cs, cout) * n_copies
+            for ch in ch_list * n_copies
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
-    )(t_flat, skip_flat, w1p, w1s, g1s, g1b, w2, g2s, g2b, gmat)
-    return out.reshape(p, cout, H, W)
+    )(*operands)
+    return out.reshape(p, c_out_planes, H, W)

@@ -87,7 +87,7 @@ def main():
         logger.info('************ WARNING: NO CHECKPOINT SPECIFIED')
 
     valset = SemiDataset(cfg, 'val', id_path=cfg.get('val_id_path'))
-    evaluator = Evaluator(bundle.module, variables, bundle.text_feats, cfg)
+    evaluator = Evaluator(bundle.module_fwd, variables, bundle.text_feats, cfg)
     eval_mode = cfg.get('eval_mode') or (
         'sliding_window' if cfg['dataset'] == 'cityscapes' else 'original')
     palette = get_palette(cfg['dataset'])

@@ -297,7 +297,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
     # on its LOCAL devices (global-mesh eval outputs are not addressable
     # per-process); the per-class histograms are reduced globally inside
     # ``evaluate`` via process_allgather (reference supervised.py:154-156).
-    evaluator = Evaluator(bundle.module, None, bundle.text_feats, cfg,
+    evaluator = Evaluator(bundle.module_fwd, None, bundle.text_feats, cfg,
                           mesh=mesh if pcount == 1 else None)
     # Per-step RNG = fold_in(base, global_step): stateless, so mid-epoch
     # resume reproduces the exact key stream of an uninterrupted run (a

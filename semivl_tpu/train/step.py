@@ -131,6 +131,9 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
     """Build the fused semi-supervised train step (methods semivl/unimatch;
     unimatch is the same program with maskclip_consistency_lambda == 0)."""
     module = bundle.module
+    # Teacher pseudo-label pass takes no gradients — route it through the
+    # fused-decoder forward variant (same params; ops/fused_up.py).
+    module_fwd = getattr(bundle, 'module_fwd', None) or module
     text = jnp.asarray(bundle.text_feats)
     mcc_text = (jnp.asarray(bundle.mcc_text_feats)
                 if bundle.mcc_text_feats is not None else None)
@@ -217,7 +220,8 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
         params_sg = _freeze_stop_gradient(state.params, trainable_mask)
 
         # teacher pseudo-labels for the mixed-in halves (228-232)
-        pred_w_other = module.apply(params_sg, batch['img_w_other'], text)
+        pred_w_other = module_fwd.apply(params_sg, batch['img_w_other'],
+                                        text)
         conf_w_other, mask_w_other = _softmax_conf_label(
             jax.lax.stop_gradient(pred_w_other))
 

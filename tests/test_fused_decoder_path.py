@@ -1,0 +1,76 @@
+"""decoder_kernel='fused' (Pallas up-stage path, ops/fused_up.py) must be
+checkpoint- and output-compatible with the default XLA VLGHead path: one
+param tree initialised either way, same logits from both branches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semivl_tpu.models.vlg_head import VLGHead
+
+CH, TXT_CH, TXT_IN, HEADS = 32, 32, 16, 2
+UP = (32, 16)
+SKIP_IN = (12, 12)
+SKIP_CH = (8, 4)
+N_CLS, B, H = 5, 2, 8
+IMG = 32
+
+
+def _head(decoder_kernel):
+    return VLGHead(img_size=IMG, num_classes=N_CLS,
+                   text_in_channels=TXT_IN, text_channels=TXT_CH,
+                   up_channels=UP, skip_in_channels=SKIP_IN,
+                   skip_channels=SKIP_CH, skip_from_conv_feat=False,
+                   num_layers=1, num_heads=HEADS, channels=CH,
+                   pool_size=(2, 2), conv1_ksize=3, align_corners=False,
+                   decoder_kernel=decoder_kernel)
+
+
+@pytest.mark.quick
+def test_fused_decoder_matches_xla_and_shares_params():
+    rng = np.random.RandomState(0)
+    feats = (jnp.asarray(rng.randn(B, H, H, SKIP_IN[0]), jnp.float32),
+             jnp.asarray(rng.randn(B, H, H, SKIP_IN[1]), jnp.float32),
+             jnp.asarray(rng.randn(B, H, H, TXT_IN), jnp.float32))
+    text = jnp.asarray(rng.randn(N_CLS, TXT_IN), jnp.float32)
+
+    xla_head = _head('xla')
+    fused_head = _head('fused')
+
+    v_xla = xla_head.init(jax.random.PRNGKey(0), feats, text)
+    v_fused = fused_head.init(jax.random.PRNGKey(0), feats, text)
+
+    # identical param trees (paths AND shapes) — checkpoints interchange
+    flat_a = jax.tree_util.tree_flatten_with_path(v_xla)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(v_fused)[0]
+    paths_a = [(jax.tree_util.keystr(k), v.shape) for k, v in flat_a]
+    paths_b = [(jax.tree_util.keystr(k), v.shape) for k, v in flat_b]
+    assert paths_a == paths_b
+
+    out_xla = xla_head.apply(v_xla, feats, text)
+    out_fused = fused_head.apply(v_xla, feats, text)
+    assert out_xla.shape == (B, N_CLS, IMG, IMG)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.quick
+def test_builder_creates_fused_fwd_variant(monkeypatch):
+    """decoder_fwd_kernel='fused' gives bundle.module_fwd a fused-decoder
+    clone sharing the param structure; default on CPU is the XLA module."""
+    from semivl_tpu.models.builder import build_model
+
+    cfg = {
+        'model': 'mmseg.vlm-vlg-aspp-s2p4-sk04-ftap-mcvitb',
+        'nclass': 21, 'crop_size': 64, 'dataset': 'pascal',
+        'text_embedding_variant': 'single',
+        'mcc_text': 'single', 'pl_text': 'single',
+    }
+    bundle = build_model(cfg)
+    assert bundle.module_fwd is bundle.module  # CPU: auto -> xla
+
+    bundle2 = build_model({**cfg, 'decoder_fwd_kernel': 'fused'})
+    assert bundle2.module_fwd is not bundle2.module
+    assert (bundle2.module_fwd.decode_head_cfg['decoder_kernel']
+            == 'fused')

@@ -61,3 +61,38 @@ def test_fused_up_matches_flax_bf16():
     # and the bulk must agree tightly
     err = np.abs(out - ref)
     assert np.mean(err) < 0.01, np.mean(err)
+
+
+@pytest.mark.quick
+def test_fused_up_head_epilogue():
+    """up2+head fusion: output equals flax Up -> 3x3 head conv."""
+    import flax.linen as nn
+    from semivl_tpu.ops.resize import resize  # noqa: F401 (parity dep)
+
+    b, n, h, w, cin, cs, cout = 1, 3, 16, 16, 64, 16, 32
+    rng = np.random.RandomState(3)
+    dtype = jnp.float32
+    x = jnp.asarray(rng.randn(b * n, h, w, cin), dtype)
+    skip = jnp.asarray(rng.randn(b, 2 * h, 2 * w, cs), dtype)
+
+    module = Up(cout, cs, dtype=dtype)
+    variables = module.init(jax.random.PRNGKey(0), x, skip)
+    params = variables['params']
+    head = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name='head')
+    hv = head.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 2 * h, 2 * w, cout), dtype))
+    hp = jax.tree.map(
+        lambda p: p + 0.2 * jnp.asarray(
+            np.random.RandomState(5).randn(*p.shape), p.dtype),
+        hv['params'])
+
+    ref_mid = module.apply(variables, x, skip)
+    ref = head.apply({'params': hp}, ref_mid)        # (P, 2h, 2w, 1)
+
+    out_cf = fused_up_stage(
+        jnp.transpose(x, (0, 3, 1, 2)), jnp.transpose(skip, (0, 3, 1, 2)),
+        params, head_params=hp, interpret=True)      # (P, 1, 2h, 2w)
+    out = jnp.transpose(out_cf, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-5, atol=3e-5)
