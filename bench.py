@@ -170,8 +170,9 @@ def _bench_eval(args, cfg, bundle):
     ev = Evaluator(bundle.module_fwd, variables, bundle.text_feats, cfg,
                    mesh=mesh)
     rs = np.random.RandomState(0)
-    # typical VOC val geometry after min-512 resize
-    img = rs.randn(1, 512, 683, 3).astype(np.float32)
+    # typical VOC val geometry after min-512 resize; uint8 transport with
+    # on-device normalisation (the val-loader default)
+    img = rs.randint(0, 256, (1, 512, 683, 3)).astype(np.uint8)
     ev.predict(img, (500, 667), 'zegclip_sliding_window')  # compile
     t0 = time.perf_counter()
     n = args.steps

@@ -53,6 +53,8 @@ class SemiDataset:
             'labeled_photometric_distortion', False)
         # strong photometric augs on device (ops/augment.py) instead of PIL
         self.strong_aug_on_device = cfg.get('strong_aug_on_device', False)
+        # val images as uint8; Evaluator normalises on device
+        self.uint8_transport = cfg.get('eval_uint8_transport', True)
         # native (libjpeg/libpng) decode path, PIL fallback
         self.native_decode = cfg.get('native_decode', False)
         if self.native_decode:
@@ -122,6 +124,13 @@ class SemiDataset:
         if self.mode == 'val':
             if self.img_scale is not None:
                 img = T.mmseg_resize_val(img, self.img_scale, min_size=512)
+            # uint8 transport: 4x less host->device traffic; the Evaluator
+            # applies the ImageNet normalisation on device (the train path
+            # already ships uint8 + normalises on device)
+            if self.uint8_transport:
+                return dict(id=sample_id,
+                            img=np.asarray(img, np.uint8),
+                            mask=np.asarray(mask, np.int32))
             return dict(id=sample_id,
                         img=T.normalize(img),
                         mask=np.asarray(mask, np.int32))

@@ -90,13 +90,23 @@ class Evaluator:
     def update_params(self, params):
         self.params = params
 
+    @staticmethod
+    def _to_model_input(x):
+        """uint8 transport: normalise on device (data/transforms.normalize
+        semantics — /255 then ImageNet mean/std)."""
+        if x.dtype != jnp.uint8:
+            return x
+        from semivl_tpu.ops.augment import normalize_imagenet
+        return normalize_imagenet(x.astype(jnp.float32) / 255.0)
+
     def _run(self, batch):
         """One fixed-shape jitted forward on an exactly-sized crop batch."""
-        key = batch.shape
+        key = (batch.shape, str(batch.dtype))
         if key not in self._jit_cache:
             out_dtype = jnp.dtype(self.transfer_dtype)
 
             def fwd(params, x, text):
+                x = self._to_model_input(x)
                 return self.module.apply(params, x, text).astype(out_dtype)
 
             if self.mesh is not None:
@@ -159,14 +169,15 @@ class Evaluator:
 
         Slicing on device means each image uploads once, not once per
         overlapping window (2-3x less host->device traffic)."""
-        key = ('acc', n, ch, cw, canvas.shape, img_dev.shape, softmax)
+        key = ('acc', n, ch, cw, canvas.shape, img_dev.shape,
+               str(img_dev.dtype), softmax)
         if key not in self._jit_cache:
             def fn(params, text, canvas, img, ys, xs):
                 def get(y, x):
                     return jax.lax.dynamic_slice(
                         img, (0, y, x, 0), (1, ch, cw, 3))[0]
 
-                crops = jax.vmap(get)(ys, xs)
+                crops = self._to_model_input(jax.vmap(get)(ys, xs))
                 logits = self.module.apply(params, crops, text)
                 vals = logits.astype(jnp.float32)
                 if softmax:

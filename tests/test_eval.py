@@ -128,3 +128,25 @@ def test_zegclip_window_count(tiny_eval):
     img = np.zeros((1, 106, 106, 3), np.float32)
     pred = ev.predict(img, (106, 106), 'zegclip_sliding_window')
     assert pred.shape == (1, 106, 106)
+
+
+@pytest.mark.quick
+def test_uint8_transport_matches_fp32(tiny_eval, rng):
+    """uint8 val transport + on-device ImageNet normalisation must
+    reproduce the host-normalised fp32 path's predictions (the only
+    difference is where /255 + mean/std runs)."""
+    from semivl_tpu.data.transforms import normalize
+
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    raw = rng.randint(0, 256, (1, 106, 117, 3)).astype(np.uint8)
+    img_f32 = normalize(raw[0])[None]
+    mask_shape = (97, 111)
+
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    pred_u8 = ev.predict(raw, mask_shape, 'zegclip_sliding_window')
+    pred_f32 = ev.predict(img_f32, mask_shape, 'zegclip_sliding_window')
+    agree = (pred_u8 == pred_f32).mean()
+    assert agree >= 0.999, agree
