@@ -176,8 +176,16 @@ def _bench_eval(args, cfg, bundle):
     ev.predict(img, (500, 667), 'zegclip_sliding_window')  # compile
     t0 = time.perf_counter()
     n = args.steps
+    # one-deep pipeline, as the evaluate() loop runs it: fetch image i
+    # only after dispatching i+1 (hides the relay round trips)
+    prev = None
     for _ in range(n):
-        ev.predict(img, (500, 667), 'zegclip_sliding_window')
+        d = ev.predict(img, (500, 667), 'zegclip_sliding_window',
+                       defer=True)
+        if prev is not None:
+            prev.get()
+        prev = d
+    prev.get()
     dt = time.perf_counter() - t0
     print(json.dumps({
         'metric': 'zegclip_sliding_window_eval_fps',

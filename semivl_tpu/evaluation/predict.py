@@ -156,6 +156,22 @@ class Evaluator:
     def _ceil128(v):
         return -(-int(v) // 128) * 128
 
+    class Deferred:
+        """Un-fetched device prediction: lets callers dispatch the next
+        image's windows before paying this one's device->host round trip
+        (the dev-harness relay is RTT-bound; pipelining hides it)."""
+
+        def __init__(self, value, crop_hw=None):
+            self._value = value
+            self._crop_hw = crop_hw
+
+        def get(self):
+            if self._crop_hw is None:
+                return self._value
+            h, w = self._crop_hw
+            arr = np.asarray(self._value)
+            return arr[None, :h, :w].astype(np.int64)
+
     def _zeros(self, shape):
         key = ('zeros', shape)
         if key not in self._jit_cache:
@@ -241,10 +257,13 @@ class Evaluator:
 
     # ---- predict modes (reference supervised.py:40-132) ----
 
-    def predict(self, img, mask_shape, mode, return_logits=False):
+    def predict(self, img, mask_shape, mode, return_logits=False,
+                defer=False):
         """img: (1, H, W, 3) numpy. Returns (1, h_mask, w_mask) int preds;
         with ``return_logits`` also the accumulated score map (reference
-        supervised.py:129-132 / eval.py:47)."""
+        supervised.py:129-132 / eval.py:47). With ``defer=True`` returns a
+        ``Deferred`` whose .get() yields the prediction — fetch it after
+        dispatching the next image to overlap transfers."""
         device = (self.device_accumulate and self.world == 1
                   and not return_logits)
         if mode == 'zegclip_sliding_window':
@@ -265,7 +284,13 @@ class Evaluator:
             out = (logits.argmax(axis=1), logits)
         else:
             raise ValueError(mode)
-        return out if return_logits else out[0]
+        pred = out[0]
+        if isinstance(pred, self.Deferred):
+            if not defer:
+                pred = pred.get()
+        elif defer:
+            pred = self.Deferred(pred)
+        return (pred, out[1]) if return_logits else pred
 
     def _zegclip_coords(self, h_img, w_img):
         crop = self.cfg['crop_size']
@@ -314,9 +339,8 @@ class Evaluator:
             self._const_cache[ckey] = (jnp.asarray(inv_count),
                                        jnp.asarray(wh), jnp.asarray(ww))
         inv_count, wh, ww = self._const_cache[ckey]
-        pred = np.asarray(
-            self._finalize_resize_argmax(canvas, inv_count, wh, ww))
-        return pred[None, :h_m, :w_m].astype(np.int64), None
+        dev = self._finalize_resize_argmax(canvas, inv_count, wh, ww)
+        return self.Deferred(dev, (h_m, w_m)), None
 
     def _sliding_device(self, img, mask_shape):
         """Device-side variant of ``_sliding`` (Cityscapes softmax-sum):
@@ -349,8 +373,8 @@ class Evaluator:
                 canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys, xs,
                                          softmax=True)
                 off += c
-        pred = np.asarray(self._finalize_argmax(canvas))
-        return pred[None, :h, :w].astype(np.int64), None
+        dev = self._finalize_argmax(canvas)
+        return self.Deferred(dev, (h, w)), None
 
     def _zegclip_sliding(self, img, mask_shape):
         """Edge-aligned grid, logits averaged by visit count, resized to the
@@ -427,6 +451,16 @@ class Evaluator:
         return final.argmax(axis=1), final
 
 
+def _flush_pending(pending, inter_sum, union_sum, cfg, progress):
+    deferred, mask, i = pending
+    pred = deferred.get()
+    inter, union, _ = intersection_and_union(pred[0], mask, cfg['nclass'])
+    inter_sum += inter
+    union_sum += union
+    if progress is not None:
+        progress(i)
+
+
 def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
              process_index=0, process_count=1):
     """Full-dataset evaluation -> (mIoU, per-class IoU).
@@ -448,6 +482,7 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
         idxs = range(process_index, len(dataset), process_count)
     else:
         idxs = range(len(dataset))
+    pending = None  # (deferred pred, mask, idx): fetched one image late
     for i in idxs:
         sample = dataset.get(i)
         img = sample['img'][None]
@@ -458,13 +493,12 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
             sh = (mask.shape[0] - size) // 2
             sw = (mask.shape[1] - size) // 2
             mask = mask[sh:sh + size, sw:sw + size]
-        pred = evaluator.predict(img, mask.shape, mode)
-        inter, union, _ = intersection_and_union(pred[0], mask,
-                                                 cfg['nclass'])
-        inter_sum += inter
-        union_sum += union
-        if progress is not None:
-            progress(i)
+        deferred = evaluator.predict(img, mask.shape, mode, defer=True)
+        if pending is not None:
+            _flush_pending(pending, inter_sum, union_sum, cfg, progress)
+        pending = (deferred, mask, i)
+    if pending is not None:
+        _flush_pending(pending, inter_sum, union_sum, cfg, progress)
     if process_count > 1:
         from jax.experimental import multihost_utils
         local = np.stack([inter_sum, union_sum])
