@@ -103,6 +103,15 @@ class Evaluator:
         """One fixed-shape jitted forward on an exactly-sized crop batch."""
         key = (batch.shape, str(batch.dtype))
         if key not in self._jit_cache:
+            n_fwd = sum(1 for k in self._jit_cache
+                        if isinstance(k, tuple) and len(k) == 2)
+            if n_fwd == 16:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "eval forward compiled for 16+ distinct image shapes —"
+                    " 'original' mode jit-specialises per val-image size;"
+                    " prefer a sliding-window mode (or resize val images)"
+                    ' to avoid a compile storm')
             out_dtype = jnp.dtype(self.transfer_dtype)
 
             def fwd(params, x, text):
