@@ -385,7 +385,13 @@ class VLGHead(nn.Module):
             projected_skips.append(nn.relu(s))
 
         x = x.reshape(b * n, h, w, self.channels)
-        if self.decoder_kernel == 'fused':
+        # the fused kernel's aligned-copy scheme needs plane widths that
+        # divide 128 (ops/fused_up.py): true for 512-crop geometry
+        # (W=64/128) and the test sizes, NOT for 801-crop Cityscapes
+        # (W=102 -> 64 copies) — those fall back to the XLA path.
+        fused_ok = (4 * w <= 128 and 128 % (2 * w) == 0
+                    and 128 % (4 * w) == 0)
+        if self.decoder_kernel == 'fused' and fused_ok:
             head_p = _ConvParams((3, 3, self.up_channels[1], 1),
                                  use_bias=True, name='head')()
             x_cf = jnp.transpose(x, (0, 3, 1, 2))

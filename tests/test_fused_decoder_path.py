@@ -74,3 +74,24 @@ def test_builder_creates_fused_fwd_variant(monkeypatch):
     assert bundle2.module_fwd is not bundle2.module
     assert (bundle2.module_fwd.decode_head_cfg['decoder_kernel']
             == 'fused')
+
+
+@pytest.mark.quick
+def test_fused_decoder_falls_back_on_unfriendly_width():
+    """801-crop-like geometry (plane width not dividing 128) must run the
+    XLA path even with decoder_kernel='fused' — identical outputs, no
+    Pallas shape blowup."""
+    h_odd = 6  # W1=12, 128 % 12 != 0
+    rng = np.random.RandomState(1)
+    feats = (jnp.asarray(rng.randn(1, h_odd, h_odd, SKIP_IN[0]),
+                         jnp.float32),
+             jnp.asarray(rng.randn(1, h_odd, h_odd, SKIP_IN[1]),
+                         jnp.float32),
+             jnp.asarray(rng.randn(1, h_odd, h_odd, TXT_IN), jnp.float32))
+    text = jnp.asarray(rng.randn(N_CLS, TXT_IN), jnp.float32)
+    xla_head = _head('xla')
+    fused_head = _head('fused')
+    v = xla_head.init(jax.random.PRNGKey(0), feats, text)
+    out_a = xla_head.apply(v, feats, text)
+    out_b = fused_head.apply(v, feats, text)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
