@@ -65,6 +65,15 @@ class Evaluator:
     """
 
     def __init__(self, module, params, text_feats, cfg, mesh=None):
+        world = int(mesh.devices.size) if mesh is not None else 1
+        head_cfg = getattr(module, 'decode_head_cfg', None)
+        if (world > 1 and isinstance(head_cfg, dict)
+                and head_cfg.get('decoder_kernel') == 'fused'):
+            # multi-chip eval shards crops with auto-partitioned jit,
+            # which cannot partition a pallas_call — revert to the XLA
+            # decoder (same params) for sharded forwards
+            module = module.clone(decode_head_cfg={
+                **head_cfg, 'decoder_kernel': 'xla'})
         self.module = module
         self.params = params
         self.text = jnp.asarray(text_feats)
