@@ -176,16 +176,18 @@ def _bench_eval(args, cfg, bundle):
     ev.predict(img, (500, 667), 'zegclip_sliding_window')  # compile
     t0 = time.perf_counter()
     n = args.steps
-    # one-deep pipeline, as the evaluate() loop runs it: fetch image i
-    # only after dispatching i+1 (hides the relay round trips)
-    prev = None
+    # pipelined, as the evaluate() loop runs it: fetch image i only after
+    # dispatching later images (hides the relay round trips)
+    from collections import deque
+    depth = int(os.environ.get('SEMIVL_EVAL_PIPELINE_DEPTH', '1'))
+    pending = deque()
     for _ in range(n):
-        d = ev.predict(img, (500, 667), 'zegclip_sliding_window',
-                       defer=True)
-        if prev is not None:
-            prev.get()
-        prev = d
-    prev.get()
+        pending.append(ev.predict(img, (500, 667),
+                                  'zegclip_sliding_window', defer=True))
+        if len(pending) > depth:
+            pending.popleft().get()
+    while pending:
+        pending.popleft().get()
     dt = time.perf_counter() - t0
     print(json.dumps({
         'metric': 'zegclip_sliding_window_eval_fps',
