@@ -305,3 +305,80 @@ def fused_up_stage(x, skip, params, *, head_params=None, interpret=None):
             dimension_semantics=('arbitrary',)),
     )(*operands)
     return out.reshape(p, c_out_planes, H, W)
+
+
+# ---- polyphase composite kernels (round-3 groundwork) ----------------------
+#
+# The profitable next step for the decoder grad path is absorbing the
+# transpose conv INTO conv1 (ROADMAP "Round 3 plan"): the composed op
+# conv3x3(conv_transpose2x2(x) + bias) is, per output phase (i, j) of the
+# 2x-resolution grid, an exact 2x2 convolution over x augmented with a
+# constant-ones channel (which absorbs the bias, including its zero-padding
+# edge behaviour). These helpers build and validate that algebra in XLA so
+# the future Pallas kernel only has to reproduce verified math.
+
+def composite_phase_kernels(up_kernel, up_bias, conv1_planes_kernel):
+    """Compose ConvTranspose2d(k=2,s=2)+bias with a 3x3 conv into four
+    2x2 phase kernels over the bias-augmented input.
+
+    up_kernel: (2, 2, Cin, U); up_bias: (U,);
+    conv1_planes_kernel: (3, 3, U, Cout).
+    Returns K with K[i][j]: (2, 2, Cin+1, Cout) — for output phase
+    (i, j), taps (a, b) index x~ = concat([x, ones], channel) at block
+    offsets (r + a + a0, s + b + b0) with (a0, b0) = (i-1, j-1) // 1 ...
+    concretely: offset_a = a - 1 + i, offset_b = b - 1 + j over a, b in
+    {0, 1} — see ``polyphase_up_conv1_reference``.
+    """
+    _, _, cin, u = up_kernel.shape
+    cout = conv1_planes_kernel.shape[-1]
+    aug = jnp.concatenate(
+        [up_kernel,
+         jnp.broadcast_to(up_bias[None, None, None, :], (2, 2, 1, u))],
+        axis=2)                                       # (2,2,Cin+1,U)
+    ks = [[jnp.zeros((2, 2, cin + 1, cout), up_kernel.dtype)
+           for _ in range(2)] for _ in range(2)]
+    for i in range(2):
+        for j in range(2):
+            k = jnp.zeros((2, 2, cin + 1, cout), jnp.float32)
+            for dy in range(3):
+                m = i + dy - 1
+                a = (m // 2) - (i - 1)      # tap row in {0, 1}
+                pi = m % 2
+                for dx in range(3):
+                    mm = j + dx - 1
+                    b = (mm // 2) - (j - 1)
+                    pj = mm % 2
+                    contrib = jnp.einsum(
+                        'cu,uo->co', aug[pi, pj].astype(jnp.float32),
+                        conv1_planes_kernel[dy, dx].astype(jnp.float32))
+                    k = k.at[a, b].add(contrib)
+            ks[i][j] = k
+    return ks
+
+
+def polyphase_up_conv1_reference(x, up_kernel, up_bias,
+                                 conv1_planes_kernel):
+    """XLA reference: conv1(planes part) of the Up block computed via the
+    composite phase kernels — must equal
+    conv3x3(pad(conv_transpose2x2(x) + bias)) exactly.
+
+    x: (B, h, w, Cin) NHWC. Returns (B, 2h, 2w, Cout).
+    """
+    b, h, w, cin = x.shape
+    cout = conv1_planes_kernel.shape[-1]
+    ones = jnp.ones((b, h, w, 1), x.dtype)
+    xa = jnp.concatenate([x, ones], axis=-1)
+    ks = composite_phase_kernels(up_kernel, up_bias, conv1_planes_kernel)
+    dn = ('NHWC', 'HWIO', 'NHWC')
+    out = jnp.zeros((b, h, 2, w, 2, cout), jnp.float32)
+    for i in range(2):
+        for j in range(2):
+            # taps (a, b) read x~[r + a - 1 + i, s + b - 1 + j]: SAME-size
+            # 2x2 conv with asymmetric zero padding per phase
+            pad_r = (1 - i, i)      # i=0: one row padded above; i=1: below
+            pad_c = (1 - j, j)
+            y = jax.lax.conv_general_dilated(
+                xa.astype(jnp.float32), ks[i][j], (1, 1),
+                (pad_r, pad_c), dimension_numbers=dn)
+            out = out.at[:, :, i, :, j, :].set(y)
+    return out.reshape(b, 2 * h, 2 * w, cout)

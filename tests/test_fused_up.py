@@ -96,3 +96,28 @@ def test_fused_up_head_epilogue():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.quick
+def test_polyphase_composite_matches_tconv_conv1():
+    """Round-3 groundwork: conv3x3(conv_transpose2x2(x)+bias) == the four
+    composite 2x2 phase convs over the ones-augmented input, exactly
+    (including zero-padding edges)."""
+    from semivl_tpu.models.vlg_head import conv_transpose_2x2
+    from semivl_tpu.ops.fused_up import polyphase_up_conv1_reference
+
+    rng = np.random.RandomState(7)
+    b, h, w, cin, u, cout = 2, 5, 6, 8, 12, 16
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    up_k = jnp.asarray(rng.randn(2, 2, cin, u), jnp.float32)
+    up_b = jnp.asarray(rng.randn(u), jnp.float32)
+    k1 = jnp.asarray(rng.randn(3, 3, u, cout), jnp.float32)
+
+    t = conv_transpose_2x2(x, up_k, up_b)           # (b, 2h, 2w, u)
+    ref = jax.lax.conv_general_dilated(
+        t, k1, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    got = polyphase_up_conv1_reference(x, up_k, up_b, k1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
