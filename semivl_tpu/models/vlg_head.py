@@ -324,6 +324,28 @@ class VLGHead(nn.Module):
     decoder_kernel: str = 'xla'
     dtype: Dtype = jnp.float32
 
+    def fused_decoder_ok(self, h, w):
+        """Whether the fused Pallas decoder path can run at this feature
+        geometry. Two gates (ops/fused_up.py): plane widths must divide
+        128 (true for 512-crop geometry, NOT for 801-crop Cityscapes,
+        W=102 -> 64 aligned copies), and the per-program VMEM footprint
+        must fit the 16 MB scoped limit — float32 models at 512-crop
+        geometry do not (measured 17.4 MB OOM), bf16 does."""
+        if not (4 * w <= 128 and 128 % (2 * w) == 0
+                and 128 % (4 * w) == 0):
+            return False
+        from semivl_tpu.ops.fused_up import (
+            FUSED_VMEM_LIMIT, fused_up_vmem_bytes)
+        isz = jnp.dtype(self.dtype).itemsize
+        up1_b = fused_up_vmem_bytes(
+            self.channels - self.skip_channels[0], self.skip_channels[0],
+            self.up_channels[0], h, w, isz, False)
+        up2_b = fused_up_vmem_bytes(
+            self.up_channels[0] - self.skip_channels[1],
+            self.skip_channels[1], self.up_channels[1],
+            2 * h, 2 * w, isz, True)
+        return max(up1_b, up2_b) <= FUSED_VMEM_LIMIT
+
     @nn.compact
     def __call__(self, feats, text_feats, conv_feats=None, output_size=None,
                  train=False, global_emb=None):
@@ -385,13 +407,7 @@ class VLGHead(nn.Module):
             projected_skips.append(nn.relu(s))
 
         x = x.reshape(b * n, h, w, self.channels)
-        # the fused kernel's aligned-copy scheme needs plane widths that
-        # divide 128 (ops/fused_up.py): true for 512-crop geometry
-        # (W=64/128) and the test sizes, NOT for 801-crop Cityscapes
-        # (W=102 -> 64 copies) — those fall back to the XLA path.
-        fused_ok = (4 * w <= 128 and 128 % (2 * w) == 0
-                    and 128 % (4 * w) == 0)
-        if self.decoder_kernel == 'fused' and fused_ok:
+        if self.decoder_kernel == 'fused' and self.fused_decoder_ok(h, w):
             head_p = _ConvParams((3, 3, self.up_channels[1], 1),
                                  use_bias=True, name='head')()
             x_cf = jnp.transpose(x, (0, 3, 1, 2))

@@ -382,3 +382,28 @@ def polyphase_up_conv1_reference(x, up_kernel, up_bias,
                 (pad_r, pad_c), dimension_numbers=dn)
             out = out.at[:, :, i, :, j, :].set(y)
     return out.reshape(b, 2 * h, 2 * w, cout)
+
+
+def fused_up_vmem_bytes(up_c, cs, cout, h, w, itemsize, fuse_head):
+    """Conservative VMEM footprint estimate for one fused-up program:
+    aligned-copy scratch + double-buffered in/out blocks + live patch
+    transients. Used to fall back to the XLA path when the 16 MB scoped
+    limit would be exceeded (e.g. float32 models at 512-crop geometry —
+    measured 17.4 MB OOM for fp32 up1)."""
+    import math
+    W, hw = 2 * w, 4 * h * w
+    nc = 128 // math.gcd(W, 128)
+    length = hw + 2 * _PAD + (nc - 1) * W
+    ch = (up_c + cs + cout + (cout if fuse_head else 0)) * nc
+    scratch = ch * length * itemsize
+    out_ch = 1 if fuse_head else cout
+    blocks = 2 * (up_c + cs + out_ch) * hw * itemsize
+    tr = min(2 * h, max(16, 2048 // W))
+    while (2 * h) % tr:
+        tr //= 2
+    trw = tr * W
+    transients = 9 * max(up_c, cout) * trw * itemsize + cout * trw * 4
+    return scratch + blocks + transients
+
+
+FUSED_VMEM_LIMIT = 14 * 1024 * 1024  # margin under the 16 MB scoped VMEM

@@ -95,3 +95,34 @@ def test_fused_decoder_falls_back_on_unfriendly_width():
     out_a = xla_head.apply(v, feats, text)
     out_b = fused_head.apply(v, feats, text)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+@pytest.mark.quick
+def test_fused_vmem_gate_flagship_geometry():
+    """bf16 flagship geometry fits the scoped-VMEM budget; fp32 does not
+    (the measured 17.4 MB OOM) — the gate must separate them."""
+    from semivl_tpu.ops.fused_up import (FUSED_VMEM_LIMIT,
+                                         fused_up_vmem_bytes)
+    # up1 at 512-crop flagship: cin 128 -> up_c 96, skip 32, out 64
+    for isz, fits in ((2, True), (4, False)):
+        b1 = fused_up_vmem_bytes(96, 32, 64, 32, 32, isz, False)
+        b2 = fused_up_vmem_bytes(48, 16, 32, 64, 64, isz, True)
+        assert (max(b1, b2) <= FUSED_VMEM_LIMIT) == fits, (isz, b1, b2)
+
+
+@pytest.mark.quick
+def test_fused_decoder_vmem_gate_decision():
+    """At flagship 512-crop geometry (h=w=32, channels 128, ups (64,32),
+    skips (32,16)) the fused path must engage for bf16 and fall back for
+    float32 (scoped-VMEM gate); 801-crop geometry (w=51) must fall back
+    regardless (width gate)."""
+    def head(dtype):
+        return VLGHead(img_size=512, num_classes=21, text_in_channels=512,
+                       text_channels=128, up_channels=(64, 32),
+                       skip_in_channels=(768, 768), skip_channels=(32, 16),
+                       num_layers=2, num_heads=4, channels=128,
+                       decoder_kernel='fused', dtype=dtype)
+
+    assert head(jnp.bfloat16).fused_decoder_ok(32, 32)
+    assert not head(jnp.float32).fused_decoder_ok(32, 32)
+    assert not head(jnp.bfloat16).fused_decoder_ok(51, 51)
