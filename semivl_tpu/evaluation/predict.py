@@ -110,10 +110,9 @@ class Evaluator:
 
     def _run(self, batch):
         """One fixed-shape jitted forward on an exactly-sized crop batch."""
-        key = (batch.shape, str(batch.dtype))
+        key = ('fwd', batch.shape, str(batch.dtype))
         if key not in self._jit_cache:
-            n_fwd = sum(1 for k in self._jit_cache
-                        if isinstance(k, tuple) and len(k) == 2)
+            n_fwd = sum(1 for k in self._jit_cache if k[0] == 'fwd')
             if n_fwd == 16:
                 import logging
                 logging.getLogger(__name__).warning(
@@ -282,6 +281,18 @@ class Evaluator:
         supervised.py:129-132 / eval.py:47). With ``defer=True`` returns a
         ``Deferred`` whose .get() yields the prediction — fetch it after
         dispatching the next image to overlap transfers."""
+        crop = self.cfg.get('crop_size', 0)
+        if img.dtype == np.uint8 and (
+                mode == 'padded_sliding_window'
+                or (mode == 'zegclip_sliding_window'
+                    and min(img.shape[1:3]) < crop)):
+            # Modes that zero-pad crops must pad in *normalised* space
+            # (mmseg pads the already-normalised image with 0,
+            # supervised.py:41-67); uint8 zero-padding would normalise to
+            # -mean/std (~-2.1). Host-normalise first — padding then adds
+            # exact zeros and _to_model_input passes floats through.
+            from semivl_tpu.data import transforms as T
+            img = T.normalize(img[0])[None]
         device = (self.device_accumulate and self.world == 1
                   and not return_logits)
         if mode == 'zegclip_sliding_window':

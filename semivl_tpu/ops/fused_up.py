@@ -259,7 +259,12 @@ def fused_up_stage(x, skip, params, *, head_params=None, interpret=None):
                                   params['up_bias'], cdt)
     skip_flat = skip.reshape(b, cs, hw).astype(cdt)
 
-    gsize = 16
+    # the XLA path uses nn.GroupNorm(num_groups=features//16): effective
+    # group size is cout // (cout//16), which equals 16 only when
+    # cout % 16 == 0 (e.g. cout=24 -> ONE 24-channel group)
+    num_groups = max(cout // 16, 1)
+    assert cout % num_groups == 0, (cout, num_groups)
+    gsize = cout // num_groups
     ci = jnp.arange(cout)
     gmat = jnp.asarray(
         (ci[:, None] // gsize == ci[None, :] // gsize),

@@ -15,6 +15,30 @@ from typing import Optional
 import orbax.checkpoint as ocp
 
 
+_EXTRA_MAXLEN = 1024
+
+
+def _broadcast_extra(extra):
+    """Sync resume metadata from process 0 to all hosts.
+
+    ``extra.json`` is written by process 0 only; on a deployment without a
+    shared filesystem the other hosts would read ``{}`` and restart at
+    epoch 0 while host 0 resumes mid-epoch — desynchronised data streams
+    hang the first collective. Broadcast the JSON payload itself (fixed
+    1 KiB uint8 buffer) so every host resumes identically.
+    """
+    import jax
+    if jax.process_count() == 1:
+        return extra
+    import numpy as np
+    from jax.experimental import multihost_utils
+    raw = json.dumps(extra).encode()
+    assert len(raw) <= _EXTRA_MAXLEN, 'extra.json too large to broadcast'
+    buf = np.frombuffer(raw.ljust(_EXTRA_MAXLEN), np.uint8)
+    synced = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return json.loads(synced.tobytes().decode().strip())
+
+
 class CheckpointManager:
     def __init__(self, save_path):
         self.root = os.path.abspath(os.path.join(save_path, 'ckpt'))
@@ -62,6 +86,7 @@ class CheckpointManager:
         if os.path.isfile(path + '.extra.json'):
             with open(path + '.extra.json') as f:
                 extra = json.load(f)
+        extra = _broadcast_extra(extra)
         return new_state, extra
 
     def exists(self, name):

@@ -92,6 +92,30 @@ def _freeze_stop_gradient(variables, mask):
     return out
 
 
+def _criterion_name(cfg):
+    crit = cfg['criterion']
+    return crit['name'] if isinstance(crit, dict) else crit
+
+
+def check_criterion_pairing(cfg, bundle):
+    """The 'mmseg' criterion means "use the model's own loss_decode"
+    (reference semivl.py:142-164); in the paper grid only the ATM/zegclip
+    head configures one (SegLossPlus,
+    configs/_base_/models/vlm-zegclip-rd-pt-vitb.py:49-53) — VLG sets
+    loss_decode=None and uses CELoss. _labeled_loss hardwires
+    mmseg -> SegLossPlus, so reject any other pairing loudly instead of
+    silently training with a misassigned loss."""
+    names = [_criterion_name(cfg)]
+    if 'criterion_u' in cfg:
+        names.append(cfg['criterion_u'])
+    if 'mmseg' in names:
+        head = getattr(bundle.module, 'decode_head_cfg', None) or {}
+        assert head.get('type') == 'ATMSingleHeadSeg', (
+            "criterion 'mmseg' resolves to SegLossPlus, which only the "
+            f"ATM head configures; got head {head.get('type')!r} — use "
+            "'CELoss'/'OHEM' for this model")
+
+
 def _labeled_loss(cfg, logits, mask):
     crit = cfg['criterion']['name'] if isinstance(cfg['criterion'], dict) \
         else cfg['criterion']
@@ -130,6 +154,7 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
                            trainable_mask):
     """Build the fused semi-supervised train step (methods semivl/unimatch;
     unimatch is the same program with maskclip_consistency_lambda == 0)."""
+    check_criterion_pairing(cfg, bundle)
     module = bundle.module
     # Teacher pseudo-label pass takes no gradients — route it through the
     # fused-decoder forward variant (same params; ops/fused_up.py).
@@ -332,6 +357,7 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
 
 def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
     """Labeled-only baseline step (reference supervised.py:273-289)."""
+    check_criterion_pairing(cfg, bundle)
     module = bundle.module
     text = jnp.asarray(bundle.text_feats)
 

@@ -150,3 +150,26 @@ def test_uint8_transport_matches_fp32(tiny_eval, rng):
     pred_f32 = ev.predict(img_f32, mask_shape, 'zegclip_sliding_window')
     agree = (pred_u8 == pred_f32).mean()
     assert agree >= 0.999, agree
+
+
+@pytest.mark.slow
+def test_padded_mode_uint8_pads_in_normalised_space(tiny_eval, rng):
+    """padded_sliding_window zero-pads crops; the zeros must live in
+    *normalised* space (mmseg pads the already-normalised image,
+    supervised.py:41-67). With uint8 transport the evaluator must
+    host-normalise before padding — uint8 zero-padding would normalise to
+    -mean/std (~-2.1) and perturb predictions near pad borders."""
+    from semivl_tpu.data.transforms import normalize
+
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    raw = rng.randint(0, 256, (1, 106, 117, 3)).astype(np.uint8)
+    img_f32 = normalize(raw[0])[None]
+    mask_shape = (106, 117)
+
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    pred_u8 = ev.predict(raw, mask_shape, 'padded_sliding_window')
+    pred_f32 = ev.predict(img_f32, mask_shape, 'padded_sliding_window')
+    np.testing.assert_array_equal(pred_u8, pred_f32)

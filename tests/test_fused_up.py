@@ -53,6 +53,15 @@ def test_fused_up_matches_flax_up1_geometry():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.quick
+def test_fused_up_group_size_follows_features_over_16():
+    """cout=24: nn.GroupNorm(num_groups=24//16=1) normalises over ONE
+    24-channel group — the kernel must derive the same grouping, not a
+    hardcoded 16 (which would silently diverge)."""
+    ref, out = _run_pair(1, 2, 16, 16, 64, 16, 24, jnp.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_up_matches_flax_bf16():
     ref, out = _run_pair(1, 2, 16, 16, 64, 16, 32, jnp.bfloat16)
     # bf16 rounding differs (flax casts conv output before GN either way);

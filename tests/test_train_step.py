@@ -303,3 +303,17 @@ def test_unimatch_step_no_mcc(mesh, rng):
                                  replicate(jax.random.PRNGKey(0), mesh))
     assert np.isfinite(np.asarray(metrics['loss_all']))
     assert 'loss_mc_s1' not in metrics  # no guidance branch
+
+
+@pytest.mark.quick
+def test_mmseg_criterion_requires_atm_head(mesh):
+    """criterion 'mmseg' hardwires SegLossPlus; pairing it with a non-ATM
+    head (VLG uses loss_decode=None + CELoss in the reference grid) must
+    fail loudly instead of silently misassigning the loss."""
+    bundle = tiny_bundle(num_classes=NCLS, img_size=IMG, with_mcc=False)
+    cfg = run_cfg(criterion=dict(name='mmseg'))
+    with pytest.raises(AssertionError, match='ATM'):
+        make_supervised_train_step(bundle, cfg, None, mesh, None)
+    cfg = run_cfg(criterion_u='mmseg')
+    with pytest.raises(AssertionError, match='ATM'):
+        make_semivl_train_step(bundle, cfg, None, mesh, 10, None)
