@@ -229,6 +229,9 @@ def stage_reference(x_ph, skip_ph, params, level_out: int,
     n_ph = 4 ** level_out
     side = 1 << level_out
 
+    if skip_ph.shape[0] != x_ph.shape[0]:   # per-image skip -> per-plane
+        skip_ph = jnp.repeat(skip_ph, x_ph.shape[0] // skip_ph.shape[0],
+                             axis=0)
     sources = {'x': x_ph, 'skip': skip_ph}
     c1 = []
     for v in range(n_ph):
