@@ -72,6 +72,8 @@ class Tap:
     sy: int           # block shift, rows (-1 | 0 | +1)
     sx: int           # block shift, cols
     channels: int     # source channels contributed to the concat
+    wkey: tuple = ()  # weight-slice id: ('comp', a, b) | ('skipk', dy, dx)
+                      # | ('compones', a, b) | ('k', dy, dx)
 
 
 def conv1_taps(level_out: int, vy: int, vx: int, cin: int, cs: int):
@@ -86,13 +88,14 @@ def conv1_taps(level_out: int, vy: int, vx: int, cin: int, cs: int):
         for b in (0, 1):
             px, sx = _axis_up(level_out, vx, b)
             p = py * (1 << li) + px
-            taps.append(Tap('x', p, sy, sx, cin))
-            taps.append(Tap('ones', p, sy, sx, 1))
+            taps.append(Tap('x', p, sy, sx, cin, ('comp', a, b)))
+            taps.append(Tap('ones', p, sy, sx, 1, ('compones', a, b)))
     for dy in (-1, 0, 1):
         py, sy = _axis_same(level_out, vy, dy)
         for dx in (-1, 0, 1):
             px, sx = _axis_same(level_out, vx, dx)
-            taps.append(Tap('skip', py * (1 << level_out) + px, sy, sx, cs))
+            taps.append(Tap('skip', py * (1 << level_out) + px, sy, sx, cs,
+                            ('skipk', dy + 1, dx + 1)))
     return taps
 
 
@@ -104,7 +107,8 @@ def conv3_taps(level: int, vy: int, vx: int, c: int, src: str = 'x'):
         py, sy = _axis_same(level, vy, dy)
         for dx in (-1, 0, 1):
             px, sx = _axis_same(level, vx, dx)
-            taps.append(Tap(src, py * (1 << level) + px, sy, sx, c))
+            taps.append(Tap(src, py * (1 << level) + px, sy, sx, c,
+                            ('k', dy + 1, dx + 1)))
     return taps
 
 
