@@ -68,7 +68,8 @@ class Evaluator:
         world = int(mesh.devices.size) if mesh is not None else 1
         head_cfg = getattr(module, 'decode_head_cfg', None)
         if (world > 1 and isinstance(head_cfg, dict)
-                and head_cfg.get('decoder_kernel') == 'fused'):
+                and head_cfg.get('decoder_kernel') in ('fused',
+                                                       'fused_fwd')):
             # multi-chip eval shards crops with auto-partitioned jit,
             # which cannot partition a pallas_call — revert to the XLA
             # decoder (same params) for sharded forwards

@@ -223,15 +223,25 @@ def build_model(cfg, dtype=jnp.float32):
         mcc_text_embedding_name=mcc_text_name,
         dtype=dtype)
 
-    # Forward-only decoder variant: same param tree, Up stages + head
-    # fused into one Pallas program per class plane (ops/fused_up.py).
-    # 'auto' enables it on TPU only (the kernel interprets on CPU).
+    # Fused polyphase decoder routing (ops/fused_decoder.py). The
+    # forward-only variant ('fused_fwd': teacher pass, eval) gates on the
+    # forward kernels' VMEM footprint; the training module ('fused')
+    # additionally requires the backward kernels to fit — vlg_head falls
+    # back to XLA per-geometry either way. 'auto' enables on TPU only
+    # (the kernels interpret on CPU).
     fwd_kernel = cfg.get('decoder_fwd_kernel', 'auto')
     if fwd_kernel == 'auto':
         fwd_kernel = 'fused' if jax.default_backend() == 'tpu' else 'xla'
     module_fwd = None
     if fwd_kernel == 'fused' and model['decode_head']['type'] == 'VLGHead':
         module_fwd = module.clone(decode_head_cfg={
+            **model['decode_head'], 'decoder_kernel': 'fused_fwd'})
+    train_kernel = cfg.get('decoder_train_kernel', 'auto')
+    if train_kernel == 'auto':
+        train_kernel = 'fused' if jax.default_backend() == 'tpu' else 'xla'
+    if (train_kernel == 'fused'
+            and model['decode_head']['type'] == 'VLGHead'):
+        module = module.clone(decode_head_cfg={
             **model['decode_head'], 'decoder_kernel': 'fused'})
 
     return ModelBundle(

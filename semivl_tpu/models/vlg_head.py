@@ -238,7 +238,25 @@ class Up(nn.Module):
                               head_params=head_params)
 
     @nn.compact
-    def __call__(self, x, skip=None, fused=False, head_params=None):
+    def __call__(self, x, skip=None, fused=False, head_params=None,
+                 declare=False, in_channels=None):
+        if declare:
+            # Declare the exact same param tree without running any op —
+            # the fused chain kernel (ops/fused_decoder.py) consumes it.
+            c = in_channels
+            up_c = c - self.skip_channels
+            return {
+                'up_kernel': self.param('up_kernel',
+                                        nn.initializers.lecun_normal(),
+                                        (2, 2, c, up_c), jnp.float32),
+                'up_bias': self.param('up_bias', nn.initializers.zeros,
+                                      (up_c,), jnp.float32),
+                'conv1': _ConvGNParams(self.out_channels,
+                                       up_c + self.skip_channels,
+                                       name='conv1')(),
+                'conv2': _ConvGNParams(self.out_channels,
+                                       self.out_channels, name='conv2')(),
+            }
         if fused:
             # x: (P, C, h, w) channel-first; skip: NHWC at any resolution
             return self._fused_apply(x, skip, head_params)
@@ -318,33 +336,28 @@ class VLGHead(nn.Module):
     conv1_ksize: int = 7
     align_corners: bool = False
     text_embedding_name: str = ''  # for concept aggregation lookup
-    # 'xla' | 'fused': 'fused' routes the Up stages + head through the
-    # fused Pallas kernel (ops/fused_up.py) — forward-only paths
-    # (teacher pass, eval); param tree is identical either way.
+    # 'xla' | 'fused' | 'fused_fwd': route the Up stages + head through
+    # the fused polyphase Pallas chain (ops/fused_decoder.py). 'fused'
+    # is differentiable (training); 'fused_fwd' marks forward-only use
+    # (teacher pass, eval) and gates on the smaller forward-kernel VMEM
+    # footprint. Param tree is identical either way.
     decoder_kernel: str = 'xla'
     dtype: Dtype = jnp.float32
 
     def fused_decoder_ok(self, h, w):
-        """Whether the fused Pallas decoder path can run at this feature
-        geometry. Two gates (ops/fused_up.py): plane widths must divide
-        128 (true for 512-crop geometry, NOT for 801-crop Cityscapes,
-        W=102 -> 64 aligned copies), and the per-program VMEM footprint
-        must fit the 16 MB scoped limit — float32 models at 512-crop
-        geometry do not (measured 17.4 MB OOM), bf16 does."""
-        if not (4 * w <= 128 and 128 % (2 * w) == 0
-                and 128 % (4 * w) == 0):
-            return False
-        from semivl_tpu.ops.fused_up import (
-            FUSED_VMEM_LIMIT, fused_up_vmem_bytes)
-        isz = jnp.dtype(self.dtype).itemsize
-        up1_b = fused_up_vmem_bytes(
-            self.channels - self.skip_channels[0], self.skip_channels[0],
-            self.up_channels[0], h, w, isz, False)
-        up2_b = fused_up_vmem_bytes(
-            self.up_channels[0] - self.skip_channels[1],
-            self.skip_channels[1], self.up_channels[1],
-            2 * h, 2 * w, isz, True)
-        return max(up1_b, up2_b) <= FUSED_VMEM_LIMIT
+        """Whether the fused polyphase decoder chain
+        (ops/fused_decoder.py) can run at this feature geometry: base
+        widths w and 2w must fit a 128-lane row stride and both stages'
+        per-program VMEM (incl. backward) must fit the scoped limit.
+        Unlike the round-2 kernel there is no 128-divisibility gate, so
+        801-crop Cityscapes (w=51/102) and float32 512-crop both
+        qualify (float32 models run the kernel with bfloat16 internal
+        storage — see ops/fused_decoder.py docstring)."""
+        from semivl_tpu.ops.fused_decoder import fused_decoder_ok
+        return fused_decoder_ok(
+            self.channels, self.skip_channels[0], self.up_channels[0],
+            self.skip_channels[1], self.up_channels[1], h, w,
+            backward=self.decoder_kernel != 'fused_fwd')
 
     @nn.compact
     def __call__(self, feats, text_feats, conv_feats=None, output_size=None,
@@ -407,19 +420,37 @@ class VLGHead(nn.Module):
             projected_skips.append(nn.relu(s))
 
         x = x.reshape(b * n, h, w, self.channels)
-        if self.decoder_kernel == 'fused' and self.fused_decoder_ok(h, w):
+        if (self.decoder_kernel in ('fused', 'fused_fwd')
+                and self.fused_decoder_ok(h, w)):
+            # Fused polyphase chain (ops/fused_decoder.py): up1+up2+head
+            # as two Pallas programs per class plane, differentiable
+            # (custom VJP), with the exact same param tree as the XLA
+            # branch. On CPU (interpret) storage follows the model dtype
+            # so outputs are bit-comparable to the XLA branch; on TPU the
+            # kernel stores activations in bfloat16 with fp32 stats.
+            from semivl_tpu.ops.fused_decoder import fused_vlg_decoder
             head_p = _ConvParams((3, 3, self.up_channels[1], 1),
                                  use_bias=True, name='head')()
+            p1 = Up(self.up_channels[0], self.skip_channels[0],
+                    dtype=self.dtype, name='up1')(
+                        None, declare=True, in_channels=self.channels)
+            p2 = Up(self.up_channels[1], self.skip_channels[1],
+                    dtype=self.dtype, name='up2')(
+                        None, declare=True,
+                        in_channels=self.up_channels[0])
+            s1 = resize(projected_skips[0], (2 * h, 2 * w),
+                        mode='bilinear', align_corners=True)
+            s2 = resize(projected_skips[1], (4 * h, 4 * w),
+                        mode='bilinear', align_corners=True)
             x_cf = jnp.transpose(x, (0, 3, 1, 2))
-            x_cf = Up(self.up_channels[0], self.skip_channels[0],
-                      dtype=self.dtype, name='up1')(
-                          x_cf, projected_skips[0], fused=True)
-            x_cf = Up(self.up_channels[1], self.skip_channels[1],
-                      dtype=self.dtype, name='up2')(
-                          x_cf, projected_skips[1], fused=True,
-                          head_params=head_p)
-            oh, ow = x_cf.shape[2:4]
-            x = x_cf.reshape(b, n, oh, ow)
+            s1_cf = jnp.transpose(s1, (0, 3, 1, 2)).astype(x_cf.dtype)
+            s2_cf = jnp.transpose(s2, (0, 3, 1, 2)).astype(x_cf.dtype)
+            on_tpu = jax.devices()[0].platform == 'tpu'
+            logits = fused_vlg_decoder(
+                x_cf, s1_cf, s2_cf, p1, p2, head_p,
+                storage=None if on_tpu else self.dtype)
+            oh, ow = logits.shape[2:]
+            x = logits.reshape(b, n, oh, ow)
         else:
             x = Up(self.up_channels[0], self.skip_channels[0],
                    dtype=self.dtype, name='up1')(x, projected_skips[0])

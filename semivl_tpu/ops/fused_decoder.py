@@ -81,6 +81,19 @@ class Geometry:
     def masked(self):
         return self.ws == self.w
 
+    def phase_aligns(self, py):
+        """Row alignments ever read for a level-1 phase of row parity
+        ``py``: every phase is read at sy=0, and additionally at sy=+1
+        (py == 0, from out-phase row 1's dy=+1 taps -> k = nc-1) or
+        sy=-1 (py == 1 -> k = 1). Storing only these slots saves a third
+        of the phase-buffer VMEM at nc = 4."""
+        ks = {0, (self.nc - 1) % self.nc} if py == 0 else {0, 1 % self.nc}
+        return tuple(sorted(ks))
+
+    @property
+    def ns_phase(self):
+        return min(self.nc, 2)
+
     def tiles(self, max_k):
         """Row-aligned lane tiles (f0, F): f0 multiples of 128, sized so
         a (max_k, F) bf16 concat stays under ~1.5 MB."""
@@ -135,11 +148,11 @@ def invert_taps(fwd_lists, src, n_src, cout):
 # ---------------------------------------------------------------------------
 # in-kernel plane IO
 
-def _zero_pads(ref, idx, geo, dtype):
+def _zero_pads(ref, idx, geo, dtype, keys):
     """Zero the non-data lanes of every alignment slot row."""
     c = ref.shape[-2]
     sl = (slice(None),)
-    for si, k in enumerate(geo.aligns):
+    for si, k in enumerate(keys):
         off = _PAD + k * geo.ws
         ref[idx + (si,) + sl + (slice(0, off),)] = jnp.zeros((c, off), dtype)
         tail = geo.L - off - geo.hwp
@@ -147,10 +160,10 @@ def _zero_pads(ref, idx, geo, dtype):
             jnp.zeros((c, tail), dtype)
 
 
-def _store_tile(ref, idx, val, geo, f0, slots=None):
+def _store_tile(ref, idx, val, geo, f0, keys, slots=None):
     """Write a (C, F) tile at plane offset f0 into alignment slots
     (channel extent follows ``val`` so buffers can be shared)."""
-    for si, k in enumerate(geo.aligns):
+    for si, k in enumerate(keys):
         if slots is not None and si not in slots:
             continue
         off = _PAD + k * geo.ws + f0
@@ -158,10 +171,10 @@ def _store_tile(ref, idx, val, geo, f0, slots=None):
                    slice(off, off + val.shape[1]))] = val
 
 
-def _slot_read(ref, idx, sy, geo, f0, F, c=None):
+def _slot_read(ref, idx, sy, geo, f0, F, keys, c=None):
     """(C, F) row-shifted tile — an aligned slice of the right slot."""
     k = (-sy) % geo.nc
-    si = geo.aligns.index(k)
+    si = keys.index(k)
     start = _PAD + (k + sy) * geo.ws + f0
     assert start % 128 == 0 and start >= 0, (k, sy, geo)
     ch = slice(None) if c is None else slice(0, c)
@@ -314,26 +327,34 @@ def _conv_pass(taps_lists, read, w_ref, geo, cdt, store, tiles):
     return ssum, ssq
 
 
+def _phase_keys(geo):
+    return [geo.phase_aligns(v // 2) for v in range(4)]
+
+
 def _normalize_pass(act_ref, geo, cdt, mean, rstd, gs, gb, tiles,
                     raw_ref=None):
     """(raw - mean)*rstd*gs + gb -> relu -> all alignment slots.
     Raw planes are read from slot 0 of act_ref (optionally also saved to
     raw_ref for backward)."""
+    pk = _phase_keys(geo)
     for v in range(4):
         for f0, F in tiles:
-            raw = _slot_read(act_ref, (v,), 0, geo, f0, F)
+            raw = _slot_read(act_ref, (v,), 0, geo, f0, F, pk[v])
             if raw_ref is not None:
                 raw_ref[v, :, f0:f0 + F] = raw
             y = jnp.maximum(
                 (raw.astype(jnp.float32) - mean) * rstd * gs + gb, 0.0)
             y = _mask_cols(y, geo, f0, F)
-            _store_tile(act_ref, (v,), y.astype(cdt), geo, f0)
+            _store_tile(act_ref, (v,), y.astype(cdt), geo, f0, pk[v])
 
 
 def _fwd_conv_gn(taps_lists, read, w_ref, act_ref, gmat, gs, gb, geo, cdt,
                  tiles, raw_ref=None):
+    pk = _phase_keys(geo)
+
     def store(v, f0, acc):
-        _store_tile(act_ref, (v,), acc.astype(cdt), geo, f0, slots=(0,))
+        _store_tile(act_ref, (v,), acc.astype(cdt), geo, f0, pk[v],
+                    slots=(pk[v].index(0),))
 
     ssum, ssq = _conv_pass(taps_lists, read, w_ref, geo, cdt, store, tiles)
     mean, rstd = _gn_stats(ssum, ssq, gmat)
@@ -342,32 +363,58 @@ def _fwd_conv_gn(taps_lists, read, w_ref, act_ref, gmat, gs, gb, geo, cdt,
     return mean, rstd
 
 
-def _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo):
-    """Build alignment slots for the stage inputs (slot 0 reads come
-    straight from the padded input blocks) and return the read fn."""
-    for si, k in enumerate(geo.aligns):
-        if k == 0:
-            continue
-        for f0, F in geo.tiles(1):
-            _store_tile(xs_ref, (0,),
-                        x_ref[0, :, _PAD + f0:_PAD + f0 + F],
-                        geo, f0, slots=(si,))
-            for q in range(4):
-                _store_tile(ss_ref, (q,),
-                            skip_ref[0, q, :, _PAD + f0:_PAD + f0 + F],
-                            geo, f0, slots=(si,))
-    _zero_pads(xs_ref, (0,), geo, xs_ref.dtype)
-    for q in range(4):
-        _zero_pads(ss_ref, (q,), geo, ss_ref.dtype)
+def _phase_reader(ref, geo):
+    """read(tap) from a 4-phase slot buffer (per-phase alignment keys)."""
+    pk = _phase_keys(geo)
 
     def read(t, f0, F):
-        if t.src == 'x':
-            if t.sy == 0:
-                return x_ref[0, :, _PAD + f0:_PAD + f0 + F]
-            return _slot_read(xs_ref, (0,), t.sy, geo, f0, F)
-        if t.sy == 0:
-            return skip_ref[0, t.phase, :, _PAD + f0:_PAD + f0 + F]
-        return _slot_read(ss_ref, (t.phase,), t.sy, geo, f0, F)
+        return _slot_read(ref, (t.phase,), t.sy, geo, f0, F, pk[t.phase])
+
+    return read
+
+
+def _nz_keys(keys):
+    return tuple(k for k in keys if k != 0)
+
+
+def _slotified_reader(read_block, sref, n_planes, geo, keys_fn):
+    """Slot builder + reader for a padded INPUT block: alignment-0 reads
+    (including every read when nc == 1 — +-ws shifts are then 128-
+    aligned) come straight from the block; only nonzero alignments get
+    scratch copies, saving a whole slot row per plane.
+
+    read_block(q, start, F) -> (C, F) slice of plane ``q``'s (C, L)
+    padded block row."""
+    for q in range(n_planes):
+        nz = _nz_keys(keys_fn(q))
+        if nz:
+            for f0, F in geo.tiles(1):
+                _store_tile(sref, (q,), read_block(q, _PAD + f0, F),
+                            geo, f0, nz)
+            _zero_pads(sref, (q,), geo, sref.dtype, nz)
+
+    def read(t, f0, F):
+        k = (-t.sy) % geo.nc
+        if k == 0:
+            return read_block(t.phase, _PAD + t.sy * geo.ws + f0, F)
+        return _slot_read(sref, (t.phase,), t.sy, geo, f0, F,
+                          _nz_keys(keys_fn(t.phase)))
+
+    return read
+
+
+def _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo):
+    """Slot copies + read fn for the stage inputs."""
+    pk = _phase_keys(geo)
+    read_x = _slotified_reader(
+        lambda q, s, F: x_ref[0, :, s:s + F], xs_ref, 1,
+        geo, lambda q: geo.aligns)
+    read_s = _slotified_reader(
+        lambda q, s, F: skip_ref[0, q, :, s:s + F], ss_ref, 4,
+        geo, lambda q: pk[q])
+
+    def read(t, f0, F):
+        return read_x(t, f0, F) if t.src == 'x' else read_s(t, f0, F)
 
     return read
 
@@ -388,25 +435,20 @@ def _stage_fwd_kernel(x_ref, skip_ref, w1_ref, g1s_ref, g1b_ref, w2_ref,
     k1 = 4 * (cin + 1) + 9 * cs
     tiles1 = geo.tiles(k1)
     tiles2 = geo.tiles(9 * cout)
-    _zero_pads(c1_ref, (0,), geo, cdt)
-    for q in range(1, 4):
-        _zero_pads(c1_ref, (q,), geo, cdt)
+    pk = _phase_keys(geo)
+    for q in range(4):
+        _zero_pads(c1_ref, (q,), geo, cdt, pk[q])
     _fwd_conv_gn(t1, read1, w1_ref, c1_ref, gmat, g1s_ref[:], g1b_ref[:],
                  geo, cdt, tiles1)
 
-    def read2(t, f0, F):
-        return _slot_read(c1_ref, (t.phase,), t.sy, geo, f0, F)
-
+    read2 = _phase_reader(c1_ref, geo)
     if fuse_head:
         for q in range(4):
-            _zero_pads(c2_ref, (q,), geo, cdt)
+            _zero_pads(c2_ref, (q,), geo, cdt, pk[q])
         _fwd_conv_gn(t2, read2, w2_ref, c2_ref, gmat, g2s_ref[:],
                      g2b_ref[:], geo, cdt, tiles2)
         hb = hb_ref[0, 0]
-
-        def read3(t, f0, F):
-            return _slot_read(c2_ref, (t.phase,), t.sy, geo, f0, F)
-
+        read3 = _phase_reader(c2_ref, geo)
         for v in range(4):
             for f0, F in tiles2:
                 acc = _phase_conv(t2[v], read3, geo, wh_ref[v], cdt,
@@ -416,10 +458,7 @@ def _stage_fwd_kernel(x_ref, skip_ref, w1_ref, g1s_ref, g1b_ref, w2_ref,
     else:
         # conv2 activations go straight to the output block
         def store(v, f0, acc):
-            o_ref[0, v, :, f0:f0 + F_of(f0, acc)] = acc.astype(o_ref.dtype)
-
-        def F_of(f0, acc):
-            return acc.shape[1]
+            o_ref[0, v, :, f0:f0 + acc.shape[1]] = acc.astype(o_ref.dtype)
 
         ssum, ssq = _conv_pass(t2, read2, w2_ref, geo, cdt, store, tiles2)
         mean, rstd = _gn_stats(ssum, ssq, gmat)
@@ -441,37 +480,44 @@ def _stage_bwd_tail_kernel(
         cin, cs, cout, geo, fuse_head, cdt, t1, t2, t2dg, thdg):
     """Tail grads: recompute c1/raw2[/c2], then GN2/head backward,
     conv2 wgrad+dgrad, GN1 backward -> g_raw1 (+ per-channel GN grads
-    accumulated across the grid)."""
+    accumulated across the grid).
+
+    VMEM economy: with a head, the c2 slot buffer is REUSED for the
+    g_raw2 slots (c2 is dead after the head wgrad); g_ho gets its own
+    1-channel slot buffer. Without a head, g_c2 is read straight from
+    the gradient input block."""
     if fuse_head:
         (wh_ref, whdg_ref, hb_ref, ograw1_ref, ogw2_ref, og2s_ref,
          og2b_ref, og1s_ref, og1b_ref, ogwh_ref, oghb_ref,
          xs_ref, ss_ref, c1_ref, c2_ref, raw1_ref, raw2_ref, gbuf_ref,
-         gsrc_ref) = rest
+         gho_ref) = rest
+        gsrc_ref = c2_ref       # overlay: g_raw2 slots reuse c2's buffer
     else:
         (ograw1_ref, ogw2_ref, og2s_ref, og2b_ref, og1s_ref, og1b_ref,
          xs_ref, ss_ref, c1_ref, raw1_ref, raw2_ref, gbuf_ref,
          gsrc_ref) = rest
         c2_ref = wh_ref = whdg_ref = hb_ref = ogwh_ref = oghb_ref = None
+        gho_ref = None
 
     p0 = pl.program_id(0) == 0
     gmat = gmat_ref[:]
     k1 = 4 * (cin + 1) + 9 * cs
     tiles1 = geo.tiles(k1)
     tiles2 = geo.tiles(9 * cout)
+    pk = _phase_keys(geo)
     read1 = _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo)
     for q in range(4):
-        _zero_pads(c1_ref, (q,), geo, cdt)
+        _zero_pads(c1_ref, (q,), geo, cdt, pk[q])
     mean1, rstd1 = _fwd_conv_gn(t1, read1, w1_ref, c1_ref, gmat,
                                 g1s_ref[:], g1b_ref[:], geo, cdt, tiles1,
                                 raw_ref=raw1_ref)
 
-    def read_c1(t, f0, F):
-        return _slot_read(c1_ref, (t.phase,), t.sy, geo, f0, F)
+    read_c1 = _phase_reader(c1_ref, geo)
 
     # raw2 (and, with a head, c2 activations)
     if fuse_head:
         for q in range(4):
-            _zero_pads(c2_ref, (q,), geo, cdt)
+            _zero_pads(c2_ref, (q,), geo, cdt, pk[q])
         mean2, rstd2 = _fwd_conv_gn(t2, read_c1, w2_ref, c2_ref, gmat,
                                     g2s_ref[:], g2b_ref[:], geo, cdt,
                                     tiles2, raw_ref=raw2_ref)
@@ -485,47 +531,40 @@ def _stage_bwd_tail_kernel(
 
     # gradient w.r.t. c2 activations
     if fuse_head:
-        # build g_ho slots then dgrad through the head conv
-        for q in range(4):
-            _zero_pads(gsrc_ref, (q,), geo, cdt)
-            for f0, F in tiles2:
-                _store_tile(gsrc_ref, (q,),
-                            g_ref[0, q, :, _PAD + f0:_PAD + f0 + F],
-                            geo, f0)
+        read_gho = _slotified_reader(
+            lambda q, s, F: g_ref[0, q, :, s:s + F], gho_ref, 4,
+            geo, lambda q: pk[q])
 
-        def read_gho(t, f0, F):
-            return _slot_read(gsrc_ref, (t.phase,), t.sy, geo, f0, F,
-                              c=t.channels)
-
-        # head wgrad / bias grad + g_c2 into gbuf
+        # head wgrad / bias grad (consumes c2), then head dgrad -> gbuf
         @pl.when(p0)
         def _():
             ogwh_ref[...] = jnp.zeros(ogwh_ref.shape, ogwh_ref.dtype)
             oghb_ref[...] = jnp.zeros(oghb_ref.shape, oghb_ref.dtype)
         hbacc = None
+        read3 = _phase_reader(c2_ref, geo)
         for v in range(4):
             gv = g_ref[0, v, :, _PAD:_PAD + geo.hwp].astype(jnp.float32)
             s = jnp.sum(gv, axis=1, keepdims=True)
             hbacc = s if hbacc is None else hbacc + s
             for f0, F in tiles2:
-                cat = _phase_cat(t2[v], read_c1_act3(c2_ref, geo), geo,
-                                 cdt, f0, F)
+                cat = _phase_cat(t2[v], read3, geo, cdt, f0, F)
                 gvt = g_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
                 ogwh_ref[v] += jax.lax.dot_general(
                     gvt, cat, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-        oghb_ref[...] += hbacc[:1]
+        oghb_ref[...] += hbacc
         for v in range(4):
             for f0, F in tiles2:
                 gc2 = _mask_cols(
                     _phase_conv(thdg[v], read_gho, geo, whdg_ref[v], cdt,
                                 f0, F), geo, f0, F)
                 gbuf_ref[v, :, f0:f0 + F] = gc2.astype(cdt)
+
+        def read_gc2(v, f0, F):
+            return gbuf_ref[v, :, f0:f0 + F]
     else:
-        for v in range(4):
-            for f0, F in tiles2:
-                gbuf_ref[v, :, f0:f0 + F] = \
-                    g_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
+        def read_gc2(v, f0, F):
+            return g_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
 
     # GN2 + ReLU backward -> g_raw2 (stored into gsrc slots)
     g2s = g2s_ref[:]
@@ -536,14 +575,14 @@ def _stage_bwd_tail_kernel(
             raw = raw2_ref[v, :, f0:f0 + F].astype(jnp.float32)
             xhat = (raw - mean2) * rstd2
             relu_m = (xhat * g2s + g2b) > 0
-            gy = jnp.where(relu_m,
-                           gbuf_ref[v, :, f0:f0 + F].astype(jnp.float32),
+            gy = jnp.where(relu_m, read_gc2(v, f0, F).astype(jnp.float32),
                            0.0)
             gy = _mask_cols(gy, geo, f0, F)
             s = jnp.sum(gy, axis=1, keepdims=True)
             q = jnp.sum(gy * xhat, axis=1, keepdims=True)
             sgy = s if sgy is None else sgy + s
             sgyx = q if sgyx is None else sgyx + q
+
     @pl.when(p0)
     def _():
         og2s_ref[...] = jnp.zeros(og2s_ref.shape, og2s_ref.dtype)
@@ -556,31 +595,28 @@ def _stage_bwd_tail_kernel(
     mg1 = jnp.dot(gmat, g2s * sgy, preferred_element_type=jnp.float32)
     mg2 = jnp.dot(gmat, g2s * sgyx, preferred_element_type=jnp.float32)
     for q in range(4):
-        _zero_pads(gsrc_ref, (q,), geo, cdt)
+        _zero_pads(gsrc_ref, (q,), geo, cdt, pk[q])
     for v in range(4):
         for f0, F in tiles2:
             raw = raw2_ref[v, :, f0:f0 + F].astype(jnp.float32)
             xhat = (raw - mean2) * rstd2
             relu_m = (xhat * g2s + g2b) > 0
-            gy = jnp.where(relu_m,
-                           gbuf_ref[v, :, f0:f0 + F].astype(jnp.float32),
+            gy = jnp.where(relu_m, read_gc2(v, f0, F).astype(jnp.float32),
                            0.0)
             graw2 = rstd2 * (g2s * gy - mg1 - xhat * mg2)
             graw2 = _mask_cols(graw2, geo, f0, F)
-            _store_tile(gsrc_ref, (v,), graw2.astype(cdt), geo, f0)
+            _store_tile(gsrc_ref, (v,), graw2.astype(cdt), geo, f0, pk[v])
 
     # conv2 wgrad (reuses the forward tap concat) and dgrad -> g_c1
     for v in range(4):
         for f0, F in tiles2:
             cat = _phase_cat(t2[v], read_c1, geo, cdt, f0, F)
-            gvt = _slot_read(gsrc_ref, (v,), 0, geo, f0, F)
+            gvt = _slot_read(gsrc_ref, (v,), 0, geo, f0, F, pk[v])
             ogw2_ref[v] += jax.lax.dot_general(
                 gvt, cat, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    def read_graw2(t, f0, F):
-        return _slot_read(gsrc_ref, (t.phase,), t.sy, geo, f0, F)
-
+    read_graw2 = _phase_reader(gsrc_ref, geo)
     for q in range(4):
         for f0, F in tiles2:
             gc1 = _mask_cols(
@@ -622,12 +658,6 @@ def _stage_bwd_tail_kernel(
             ograw1_ref[0, v, :, f0:f0 + F] = graw1.astype(ograw1_ref.dtype)
 
 
-def read_c1_act3(ref, geo):
-    def read(t, f0, F):
-        return _slot_read(ref, (t.phase,), t.sy, geo, f0, F)
-    return read
-
-
 def _stage_bwd_input_kernel(
         x_ref, skip_ref, graw1_ref, w1dgx_ref, w1dgs_ref, *rest,
         cin, cs, cout, geo, n_rep, cdt, t1, t1dgx, t1dgs):
@@ -638,16 +668,11 @@ def _stage_bwd_input_kernel(
     k1 = 4 * (cin + 1) + 9 * cs
     tiles1 = geo.tiles(k1)
     tilesd = geo.tiles(16 * cout)
+    pk = _phase_keys(geo)
     read_in = _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo)
-    for q in range(4):
-        _zero_pads(gsrc_ref, (q,), geo, cdt)
-        for f0, F in tiles1:
-            _store_tile(gsrc_ref, (q,),
-                        graw1_ref[0, q, :, _PAD + f0:_PAD + f0 + F],
-                        geo, f0)
-
-    def read_g(t, f0, F):
-        return _slot_read(gsrc_ref, (t.phase,), t.sy, geo, f0, F)
+    read_g = _slotified_reader(
+        lambda q, s, F: graw1_ref[0, q, :, s:s + F], gsrc_ref, 4,
+        geo, lambda q: pk[q])
 
     # g_x
     for f0, F in tilesd:
@@ -681,14 +706,12 @@ def _stage_bwd_input_kernel(
     for v in range(4):
         for f0, F in tiles1:
             cat = _phase_cat(t1[v], read_in, geo, cdt, f0, F)
-            gvt = _slot_read(gsrc_ref, (v,), 0, geo, f0, F)
+            gvt = graw1_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
             ogw1_ref[v] += jax.lax.dot_general(
                 gvt, cat, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
 
-# ---------------------------------------------------------------------------
-# XLA-side plumbing
 
 def _pad_plane_rows(x, geo):
     """(..., C, h, w) -> (..., C, L) flat padded planes (row stride ws,
@@ -733,30 +756,35 @@ def _pack_stage_weights(params, head_params, t1, t2, dtype=_CDT):
 
 
 def stage_vmem_bytes(cin, cs, cout, h, w, fuse_head, backward=False):
-    """Analytic per-program VMEM estimate (bf16 storage)."""
+    """Analytic per-program VMEM estimate mirroring the kernels'
+    allocations (bf16 storage; backward = kernel A, the larger one)."""
     geo = make_geometry(h, w)
-    na = len(geo.aligns)
+    na, ns = len(geo.aligns), geo.ns_phase
     it = 2
-    blocks = 2 * (cin + 4 * cs) * geo.L * it
-    out_c = 1 if fuse_head else cout
-    blocks += 2 * 4 * out_c * geo.hwp * it
-    scratch = ((na - 1) * cin + 4 * (na - 1) * cs) * geo.L * it
-    scratch += 4 * na * cout * geo.L * it * (2 if fuse_head else 1)
+    L, hwp = geo.L, geo.hwp
     k1 = 4 * (cin + 1) + 9 * cs
-    transients = int(2.5 * min(k1 * 1536 * 1024 // k1, k1 * geo.hwp) * it)
-    transients = int(2.5 * min(1536 * 1024, k1 * geo.hwp * it))
-    weights = 4 * (cout * k1 + cout * 9 * cout) * it
-    total = blocks + scratch + transients + weights
-    if backward:
-        # raw1/raw2 + g slots + g buffers + output blocks
-        total += 4 * cout * geo.hwp * it * 3
-        total += 4 * na * cout * geo.L * it
-        total += 2 * 4 * cout * geo.hwp * it
-        total += 4 * cout * k1 * 4
-    return total
+    xs = max(na - 1, 1) * cin * L
+    ss = 4 * max(ns - 1, 1) * cs * L
+    c1 = 4 * ns * cout * L
+    weights = 4 * cout * (k1 + 9 * cout) * it
+    F = max(t[1] for t in geo.tiles(k1))
+    trans = int(2.5 * k1 * F * it) + cout * F * 4
+    if not backward:
+        out_c = 1 if fuse_head else cout
+        blocks = 2 * (cin + 4 * cs) * L + 2 * 4 * out_c * hwp
+        c2 = 4 * ns * cout * L if fuse_head else 0
+        return (blocks + xs + ss + c1 + c2) * it + weights + trans
+    g_c = 1 if fuse_head else cout
+    blocks = 2 * (cin + 4 * cs + 4 * g_c) * L + 2 * 4 * cout * hwp
+    raws = 3 * 4 * cout * hwp
+    over = 4 * ns * cout * L                  # c2/graw2 overlay or graw2
+    gho = 4 * max(ns - 1, 1) * L if fuse_head else 0
+    outw = 4 * cout * 9 * cout * 4
+    return ((blocks + xs + ss + c1 + over + gho + raws) * it
+            + 2 * weights + outw + trans)
 
 
-FUSED_VMEM_LIMIT = 14 * 1024 * 1024
+FUSED_VMEM_LIMIT = 15 * 1024 * 1024
 
 
 def _common_specs(x_pad, skip_pad, geo, n_rep, packed_ops):
@@ -794,14 +822,15 @@ def _stage_fwd_core(x, skip_ph, w1, g1s, g1b, w2, g2s, g2b, wh=None,
         packed += [wh.astype(cdt), hb]
     in_specs = _common_specs(x_pad, skip_pad, geo, n_rep, packed)
     na = len(geo.aligns)
+    ns = geo.ns_phase
     scratch = [
-        pltpu.VMEM((1, na, cin, geo.L), cdt),
-        pltpu.VMEM((4, na, cs, geo.L), cdt),
-        pltpu.VMEM((4, na, cout, geo.L), cdt),
+        pltpu.VMEM((1, max(na - 1, 1), cin, geo.L), cdt),
+        pltpu.VMEM((4, max(ns - 1, 1), cs, geo.L), cdt),
+        pltpu.VMEM((4, ns, cout, geo.L), cdt),
     ]
     out_c = cout
     if fuse_head:
-        scratch.append(pltpu.VMEM((4, na, cout, geo.L), cdt))
+        scratch.append(pltpu.VMEM((4, ns, cout, geo.L), cdt))
         out_c = 1
 
     kernel = functools.partial(
@@ -883,19 +912,24 @@ def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
         out_specs += [pl.BlockSpec(wh.shape, lambda pi: (0,) * wh.ndim),
                       pl.BlockSpec((1, 1), lambda pi: (0, 0))]
 
+    ns = geo.ns_phase
     scratch = [
-        pltpu.VMEM((1, na, cin, geo.L), cdt),       # x slots
-        pltpu.VMEM((4, na, cs, geo.L), cdt),        # skip slots
-        pltpu.VMEM((4, na, cout, geo.L), cdt),      # c1 slots
+        pltpu.VMEM((1, max(na - 1, 1), cin, geo.L), cdt),   # x slots
+        pltpu.VMEM((4, max(ns - 1, 1), cs, geo.L), cdt),    # skip slots
+        pltpu.VMEM((4, ns, cout, geo.L), cdt),              # c1 slots
     ]
     if fuse_head:
-        scratch.append(pltpu.VMEM((4, na, cout, geo.L), cdt))  # c2 slots
+        scratch.append(pltpu.VMEM((4, ns, cout, geo.L), cdt))  # c2/graw2
     scratch += [
         pltpu.VMEM((4, cout, geo.hwp), cdt),        # raw1
         pltpu.VMEM((4, cout, geo.hwp), cdt),        # raw2
         pltpu.VMEM((4, cout, geo.hwp), cdt),        # g buffer
-        pltpu.VMEM((4, na, max(cout, g_c), geo.L), cdt),  # g slots
     ]
+    if fuse_head:
+        scratch.append(
+            pltpu.VMEM((4, max(ns - 1, 1), 1, geo.L), cdt))    # g_ho
+    else:
+        scratch.append(pltpu.VMEM((4, ns, cout, geo.L), cdt))  # graw2
     thdg = invert_taps(t2, 'x', 4, 1) if fuse_head else None
     kernel = functools.partial(
         _stage_bwd_tail_kernel, cin=cin, cs=cs, cout=cout, geo=geo,
@@ -943,9 +977,9 @@ def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
         pl.BlockSpec(w1.shape, lambda pi: (0,) * w1.ndim),
     ]
     scratch_b = [
-        pltpu.VMEM((1, na, cin, geo.L), cdt),
-        pltpu.VMEM((4, na, cs, geo.L), cdt),
-        pltpu.VMEM((4, na, cout, geo.L), cdt),      # g_raw1 slots
+        pltpu.VMEM((1, max(na - 1, 1), cin, geo.L), cdt),
+        pltpu.VMEM((4, max(ns - 1, 1), cs, geo.L), cdt),
+        pltpu.VMEM((4, max(ns - 1, 1), cout, geo.L), cdt),  # g_raw1 slots
     ]
     kernel_b = functools.partial(
         _stage_bwd_input_kernel, cin=cin, cs=cs, cout=cout, geo=geo,
@@ -1077,11 +1111,15 @@ def fused_vlg_decoder(x, skip1, skip2, params1, params2, head_params,
     return _interleave(ho_ph)
 
 
-def fused_decoder_ok(cin, cs1, cout1, cs2, cout2, h, w):
-    """VMEM gate for the fused chain at a given geometry."""
-    if w > 128 or 2 * w > 128:
+def fused_decoder_ok(cin, cs1, cout1, cs2, cout2, h, w, backward=True):
+    """VMEM gate for the fused chain at a given geometry.
+
+    ``backward=False`` gates forward-only use (teacher pass, eval) where
+    only the forward kernels' footprint matters — e.g. 801-crop
+    Cityscapes fits forward but not backward."""
+    if w > 64:      # base widths w and 2w must fit a 128-lane row stride
         return False
-    a = stage_vmem_bytes(cin, cs1, cout1, h, w, False, backward=True)
+    a = stage_vmem_bytes(cin, cs1, cout1, h, w, False, backward=backward)
     b = stage_vmem_bytes(cout1, cs2, cout2, 2 * h, 2 * w, True,
-                         backward=True)
+                         backward=backward)
     return max(a, b) <= FUSED_VMEM_LIMIT

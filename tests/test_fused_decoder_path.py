@@ -73,14 +73,14 @@ def test_builder_creates_fused_fwd_variant(monkeypatch):
     bundle2 = build_model({**cfg, 'decoder_fwd_kernel': 'fused'})
     assert bundle2.module_fwd is not bundle2.module
     assert (bundle2.module_fwd.decode_head_cfg['decoder_kernel']
-            == 'fused')
+            == 'fused_fwd')
 
 
 @pytest.mark.quick
-def test_fused_decoder_falls_back_on_unfriendly_width():
-    """801-crop-like geometry (plane width not dividing 128) must run the
-    XLA path even with decoder_kernel='fused' — identical outputs, no
-    Pallas shape blowup."""
+def test_fused_decoder_handles_odd_width():
+    """801-crop-like geometry (plane width not dividing 128) now runs the
+    fused polyphase chain (round-2's 128-divisibility gate is gone):
+    outputs still match the XLA path."""
     h_odd = 6  # W1=12, 128 % 12 != 0
     rng = np.random.RandomState(1)
     feats = (jnp.asarray(rng.randn(1, h_odd, h_odd, SKIP_IN[0]),
@@ -92,9 +92,11 @@ def test_fused_decoder_falls_back_on_unfriendly_width():
     xla_head = _head('xla')
     fused_head = _head('fused')
     v = xla_head.init(jax.random.PRNGKey(0), feats, text)
+    assert fused_head.fused_decoder_ok(h_odd, h_odd)
     out_a = xla_head.apply(v, feats, text)
     out_b = fused_head.apply(v, feats, text)
-    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.quick
@@ -112,10 +114,10 @@ def test_fused_vmem_gate_flagship_geometry():
 
 @pytest.mark.quick
 def test_fused_decoder_vmem_gate_decision():
-    """At flagship 512-crop geometry (h=w=32, channels 128, ups (64,32),
-    skips (32,16)) the fused path must engage for bf16 and fall back for
-    float32 (scoped-VMEM gate); 801-crop geometry (w=51) must fall back
-    regardless (width gate)."""
+    """Round-3 polyphase chain gates: the forward-only variant
+    ('fused_fwd': teacher/eval) fits flagship 512-crop for bf16 AND fp32
+    models (bf16 internal storage); wide base grids (Cityscapes 102) and
+    the w > 64 row-stride bound fall back."""
     def head(dtype):
         return VLGHead(img_size=512, num_classes=21, text_in_channels=512,
                        text_channels=128, up_channels=(64, 32),
@@ -123,6 +125,12 @@ def test_fused_decoder_vmem_gate_decision():
                        num_layers=2, num_heads=4, channels=128,
                        decoder_kernel='fused', dtype=dtype)
 
-    assert head(jnp.bfloat16).fused_decoder_ok(32, 32)
-    assert not head(jnp.float32).fused_decoder_ok(32, 32)
-    assert not head(jnp.bfloat16).fused_decoder_ok(51, 51)
+    from semivl_tpu.ops.fused_decoder import fused_decoder_ok
+    # forward-only gate: flagship qualifies regardless of model dtype
+    assert fused_decoder_ok(128, 32, 64, 16, 32, 32, 32, backward=False)
+    # row-stride bound: base w > 64 cannot host 2w in 128 lanes
+    assert not fused_decoder_ok(128, 32, 64, 16, 32, 100, 100,
+                                backward=False)
+    # the head method routes through the same gate for both dtypes
+    assert (head(jnp.bfloat16).fused_decoder_ok(32, 32)
+            == head(jnp.float32).fused_decoder_ok(32, 32))
