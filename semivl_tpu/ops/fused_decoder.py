@@ -148,37 +148,56 @@ def invert_taps(fwd_lists, src, n_src, cout):
 # ---------------------------------------------------------------------------
 # in-kernel plane IO
 
-def _zero_pads(ref, idx, geo, dtype, keys):
+class SlotBufs:
+    """Per-(plane, alignment-k) 2D VMEM buffers.
+
+    Rank-4 VMEM scratch makes Mosaic's compile time explode (~130x,
+    probed on v5e: 64 s vs 0.5 s for identical 2D buffers), so every
+    slot buffer is a separate (C, L) scratch ref, plane-major."""
+
+    def __init__(self, bufs, keys_per_plane):
+        self.keys = keys_per_plane
+        self.bufs = []
+        i = 0
+        for ks in keys_per_plane:
+            self.bufs.append(bufs[i:i + len(ks)])
+            i += len(ks)
+        self.used = i
+
+    def buf(self, q, k):
+        return self.bufs[q][self.keys[q].index(k)]
+
+
+def _slot_scratch(keys_per_plane, c, L, dt):
+    return [pltpu.VMEM((c, L), dt)
+            for ks in keys_per_plane for _ in ks]
+
+
+def _zero_pads(sb: SlotBufs, q, geo, dtype):
     """Zero the non-data lanes of every alignment slot row."""
-    c = ref.shape[-2]
-    sl = (slice(None),)
-    for si, k in enumerate(keys):
+    for k in sb.keys[q]:
+        b = sb.buf(q, k)
+        c = b.shape[0]
         off = _PAD + k * geo.ws
-        ref[idx + (si,) + sl + (slice(0, off),)] = jnp.zeros((c, off), dtype)
-        tail = geo.L - off - geo.hwp
-        ref[idx + (si,) + sl + (slice(off + geo.hwp, geo.L),)] = \
-            jnp.zeros((c, tail), dtype)
+        b[:, :off] = jnp.zeros((c, off), dtype)
+        b[:, off + geo.hwp:] = jnp.zeros((c, geo.L - off - geo.hwp), dtype)
 
 
-def _store_tile(ref, idx, val, geo, f0, keys, slots=None):
-    """Write a (C, F) tile at plane offset f0 into alignment slots
-    (channel extent follows ``val`` so buffers can be shared)."""
-    for si, k in enumerate(keys):
-        if slots is not None and si not in slots:
+def _store_tile(sb: SlotBufs, q, val, geo, f0, slots=None):
+    """Write a (C, F) tile at plane offset f0 into alignment slots."""
+    for k in sb.keys[q]:
+        if slots is not None and k not in slots:
             continue
         off = _PAD + k * geo.ws + f0
-        ref[idx + (si, slice(0, val.shape[0]),
-                   slice(off, off + val.shape[1]))] = val
+        sb.buf(q, k)[:, off:off + val.shape[1]] = val
 
 
-def _slot_read(ref, idx, sy, geo, f0, F, keys, c=None):
+def _slot_read(sb: SlotBufs, q, sy, geo, f0, F):
     """(C, F) row-shifted tile — an aligned slice of the right slot."""
     k = (-sy) % geo.nc
-    si = keys.index(k)
     start = _PAD + (k + sy) * geo.ws + f0
     assert start % 128 == 0 and start >= 0, (k, sy, geo)
-    ch = slice(None) if c is None else slice(0, c)
-    return ref[idx + (si, ch, slice(start, start + F))]
+    return sb.buf(q, k)[:, start:start + F]
 
 
 def _iota(geo, f0, F, rows=1):
@@ -311,13 +330,13 @@ def _gn_stats(ssum, ssq, gmat, eps=1e-5):
 # ---------------------------------------------------------------------------
 # shared kernel passes
 
-def _conv_pass(taps_lists, read, w_ref, geo, cdt, store, tiles):
+def _conv_pass(taps_lists, read, w_at, geo, cdt, store, tiles):
     """Raw conv for all 4 phases; returns per-channel (sum, sumsq)."""
     ssum = ssq = None
     for v in range(4):
         for f0, F in tiles:
             acc = _mask_cols(
-                _phase_conv(taps_lists[v], read, geo, w_ref[v], cdt, f0, F),
+                _phase_conv(taps_lists[v], read, geo, w_at(v), cdt, f0, F),
                 geo, f0, F)
             store(v, f0, acc)
             s = jnp.sum(acc, axis=1, keepdims=True)
@@ -331,44 +350,36 @@ def _phase_keys(geo):
     return [geo.phase_aligns(v // 2) for v in range(4)]
 
 
-def _normalize_pass(act_ref, geo, cdt, mean, rstd, gs, gb, tiles,
-                    raw_ref=None):
+def _normalize_pass(act: SlotBufs, geo, cdt, mean, rstd, gs, gb, tiles,
+                    raw=None):
     """(raw - mean)*rstd*gs + gb -> relu -> all alignment slots.
-    Raw planes are read from slot 0 of act_ref (optionally also saved to
-    raw_ref for backward)."""
-    pk = _phase_keys(geo)
+    Raw planes are read from slot 0 of ``act`` (optionally also saved to
+    the ``raw`` 2D buffers for backward)."""
     for v in range(4):
         for f0, F in tiles:
-            raw = _slot_read(act_ref, (v,), 0, geo, f0, F, pk[v])
-            if raw_ref is not None:
-                raw_ref[v, :, f0:f0 + F] = raw
+            r = _slot_read(act, v, 0, geo, f0, F)
+            if raw is not None:
+                raw[v][:, f0:f0 + F] = r
             y = jnp.maximum(
-                (raw.astype(jnp.float32) - mean) * rstd * gs + gb, 0.0)
+                (r.astype(jnp.float32) - mean) * rstd * gs + gb, 0.0)
             y = _mask_cols(y, geo, f0, F)
-            _store_tile(act_ref, (v,), y.astype(cdt), geo, f0, pk[v])
+            _store_tile(act, v, y.astype(cdt), geo, f0)
 
 
-def _fwd_conv_gn(taps_lists, read, w_ref, act_ref, gmat, gs, gb, geo, cdt,
-                 tiles, raw_ref=None):
-    pk = _phase_keys(geo)
-
+def _fwd_conv_gn(taps_lists, read, w_at, act: SlotBufs, gmat, gs, gb, geo,
+                 cdt, tiles, raw=None):
     def store(v, f0, acc):
-        _store_tile(act_ref, (v,), acc.astype(cdt), geo, f0, pk[v],
-                    slots=(pk[v].index(0),))
+        _store_tile(act, v, acc.astype(cdt), geo, f0, slots=(0,))
 
-    ssum, ssq = _conv_pass(taps_lists, read, w_ref, geo, cdt, store, tiles)
+    ssum, ssq = _conv_pass(taps_lists, read, w_at, geo, cdt, store, tiles)
     mean, rstd = _gn_stats(ssum, ssq, gmat)
-    _normalize_pass(act_ref, geo, cdt, mean, rstd, gs, gb, tiles,
-                    raw_ref=raw_ref)
+    _normalize_pass(act, geo, cdt, mean, rstd, gs, gb, tiles, raw=raw)
     return mean, rstd
 
 
-def _phase_reader(ref, geo):
-    """read(tap) from a 4-phase slot buffer (per-phase alignment keys)."""
-    pk = _phase_keys(geo)
-
+def _phase_reader(sb: SlotBufs, geo):
     def read(t, f0, F):
-        return _slot_read(ref, (t.phase,), t.sy, geo, f0, F, pk[t.phase])
+        return _slot_read(sb, t.phase, t.sy, geo, f0, F)
 
     return read
 
@@ -377,46 +388,57 @@ def _nz_keys(keys):
     return tuple(k for k in keys if k != 0)
 
 
-def _slotified_reader(read_block, sref, n_planes, geo, keys_fn):
+def _slotified_reader(read_block, sb: SlotBufs, n_planes, geo):
     """Slot builder + reader for a padded INPUT block: alignment-0 reads
     (including every read when nc == 1 — +-ws shifts are then 128-
     aligned) come straight from the block; only nonzero alignments get
-    scratch copies, saving a whole slot row per plane.
+    scratch copies.
 
-    read_block(q, start, F) -> (C, F) slice of plane ``q``'s (C, L)
-    padded block row."""
+    read_block(q, start, F) -> (C, F) slice of plane ``q``'s padded
+    block row."""
     for q in range(n_planes):
-        nz = _nz_keys(keys_fn(q))
-        if nz:
-            for f0, F in geo.tiles(1):
-                _store_tile(sref, (q,), read_block(q, _PAD + f0, F),
-                            geo, f0, nz)
-            _zero_pads(sref, (q,), geo, sref.dtype, nz)
+        if not sb.keys[q]:
+            continue
+        for f0, F in geo.tiles(1):
+            _store_tile(sb, q, read_block(q, _PAD + f0, F), geo, f0)
+        _zero_pads(sb, q, geo, sb.buf(q, sb.keys[q][0]).dtype)
 
     def read(t, f0, F):
         k = (-t.sy) % geo.nc
         if k == 0:
             return read_block(t.phase, _PAD + t.sy * geo.ws + f0, F)
-        return _slot_read(sref, (t.phase,), t.sy, geo, f0, F,
-                          _nz_keys(keys_fn(t.phase)))
+        return _slot_read(sb, t.phase, t.sy, geo, f0, F)
 
     return read
 
 
-def _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo):
-    """Slot copies + read fn for the stage inputs."""
-    pk = _phase_keys(geo)
+def _input_reads(x_ref, skip_ref, xs: SlotBufs, ss: SlotBufs, geo, cs):
+    """Slot copies + read fn for the stage inputs (blocks are rank-3:
+    skip phases flattened into the channel rows)."""
     read_x = _slotified_reader(
-        lambda q, s, F: x_ref[0, :, s:s + F], xs_ref, 1,
-        geo, lambda q: geo.aligns)
+        lambda q, s, F: x_ref[0, :, s:s + F], xs, 1, geo)
     read_s = _slotified_reader(
-        lambda q, s, F: skip_ref[0, q, :, s:s + F], ss_ref, 4,
-        geo, lambda q: pk[q])
+        lambda q, s, F: skip_ref[0, q * cs:(q + 1) * cs, s:s + F],
+        ss, 4, geo)
 
     def read(t, f0, F):
         return read_x(t, f0, F) if t.src == 'x' else read_s(t, f0, F)
 
     return read
+
+
+def _keys_in(geo):
+    """Scratch key layouts: block-backed x / 4-phase sources (nonzero
+    alignments only) and computed 4-phase planes (all alignments)."""
+    pk = _phase_keys(geo)
+    x_keys = [_nz_keys(geo.aligns)]
+    in_keys = [_nz_keys(pk[q]) for q in range(4)]
+    full_keys = [pk[q] for q in range(4)]
+    return x_keys, in_keys, full_keys
+
+
+def _w_at(w_ref, cout):
+    return lambda v: w_ref[v * cout:(v + 1) * cout]
 
 
 # ---------------------------------------------------------------------------
@@ -426,48 +448,56 @@ def _stage_fwd_kernel(x_ref, skip_ref, w1_ref, g1s_ref, g1b_ref, w2_ref,
                       g2s_ref, g2b_ref, gmat_ref, *rest,
                       cin, cs, cout, geo, fuse_head, cdt, t1, t2):
     if fuse_head:
-        wh_ref, hb_ref, o_ref, xs_ref, ss_ref, c1_ref, c2_ref = rest
+        wh_ref, hb_ref, o_ref = rest[:3]
+        scr = rest[3:]
     else:
-        o_ref, xs_ref, ss_ref, c1_ref = rest
+        o_ref = rest[0]
+        scr = rest[1:]
+    x_keys, in_keys, full_keys = _keys_in(geo)
+    xs = SlotBufs(scr, x_keys)
+    ss = SlotBufs(scr[xs.used:], in_keys)
+    c1 = SlotBufs(scr[xs.used + ss.used:], full_keys)
 
-    read1 = _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo)
+    read1 = _input_reads(x_ref, skip_ref, xs, ss, geo, cs)
     gmat = gmat_ref[:]
     k1 = 4 * (cin + 1) + 9 * cs
     tiles1 = geo.tiles(k1)
     tiles2 = geo.tiles(9 * cout)
-    pk = _phase_keys(geo)
     for q in range(4):
-        _zero_pads(c1_ref, (q,), geo, cdt, pk[q])
-    _fwd_conv_gn(t1, read1, w1_ref, c1_ref, gmat, g1s_ref[:], g1b_ref[:],
-                 geo, cdt, tiles1)
+        _zero_pads(c1, q, geo, cdt)
+    _fwd_conv_gn(t1, read1, _w_at(w1_ref, cout), c1, gmat, g1s_ref[:],
+                 g1b_ref[:], geo, cdt, tiles1)
 
-    read2 = _phase_reader(c1_ref, geo)
+    read2 = _phase_reader(c1, geo)
     if fuse_head:
+        c2 = SlotBufs(scr[xs.used + ss.used + c1.used:], full_keys)
         for q in range(4):
-            _zero_pads(c2_ref, (q,), geo, cdt, pk[q])
-        _fwd_conv_gn(t2, read2, w2_ref, c2_ref, gmat, g2s_ref[:],
+            _zero_pads(c2, q, geo, cdt)
+        _fwd_conv_gn(t2, read2, _w_at(w2_ref, cout), c2, gmat, g2s_ref[:],
                      g2b_ref[:], geo, cdt, tiles2)
         hb = hb_ref[0, 0]
-        read3 = _phase_reader(c2_ref, geo)
+        read3 = _phase_reader(c2, geo)
         for v in range(4):
             for f0, F in tiles2:
-                acc = _phase_conv(t2[v], read3, geo, wh_ref[v], cdt,
+                acc = _phase_conv(t2[v], read3, geo, wh_ref[v:v + 1], cdt,
                                   f0, F) + hb
-                o_ref[0, v, :, f0:f0 + F] = _mask_cols(
+                o_ref[0, v:v + 1, f0:f0 + F] = _mask_cols(
                     acc, geo, f0, F).astype(o_ref.dtype)
     else:
-        # conv2 activations go straight to the output block
         def store(v, f0, acc):
-            o_ref[0, v, :, f0:f0 + acc.shape[1]] = acc.astype(o_ref.dtype)
+            o_ref[0, v * cout:(v + 1) * cout, f0:f0 + acc.shape[1]] = \
+                acc.astype(o_ref.dtype)
 
-        ssum, ssq = _conv_pass(t2, read2, w2_ref, geo, cdt, store, tiles2)
+        ssum, ssq = _conv_pass(t2, read2, _w_at(w2_ref, cout), geo, cdt,
+                               store, tiles2)
         mean, rstd = _gn_stats(ssum, ssq, gmat)
         for v in range(4):
             for f0, F in tiles2:
-                raw = o_ref[0, v, :, f0:f0 + F].astype(jnp.float32)
+                raw = o_ref[0, v * cout:(v + 1) * cout,
+                            f0:f0 + F].astype(jnp.float32)
                 y = jnp.maximum((raw - mean) * rstd * g2s_ref[:]
                                 + g2b_ref[:], 0.0)
-                o_ref[0, v, :, f0:f0 + F] = _mask_cols(
+                o_ref[0, v * cout:(v + 1) * cout, f0:f0 + F] = _mask_cols(
                     y, geo, f0, F).astype(o_ref.dtype)
 
 
@@ -482,58 +512,66 @@ def _stage_bwd_tail_kernel(
     conv2 wgrad+dgrad, GN1 backward -> g_raw1 (+ per-channel GN grads
     accumulated across the grid).
 
-    VMEM economy: with a head, the c2 slot buffer is REUSED for the
-    g_raw2 slots (c2 is dead after the head wgrad); g_ho gets its own
-    1-channel slot buffer. Without a head, g_c2 is read straight from
-    the gradient input block."""
+    VMEM economy: with a head, the c2 slot buffers are REUSED for the
+    g_raw2 slots (c2 is dead after the head wgrad); without a head,
+    g_c2 is read straight from the gradient input block."""
     if fuse_head:
         (wh_ref, whdg_ref, hb_ref, ograw1_ref, ogw2_ref, og2s_ref,
-         og2b_ref, og1s_ref, og1b_ref, ogwh_ref, oghb_ref,
-         xs_ref, ss_ref, c1_ref, c2_ref, raw1_ref, raw2_ref, gbuf_ref,
-         gho_ref) = rest
-        gsrc_ref = c2_ref       # overlay: g_raw2 slots reuse c2's buffer
+         og2b_ref, og1s_ref, og1b_ref, ogwh_ref, oghb_ref) = rest[:11]
+        scr = rest[11:]
     else:
-        (ograw1_ref, ogw2_ref, og2s_ref, og2b_ref, og1s_ref, og1b_ref,
-         xs_ref, ss_ref, c1_ref, raw1_ref, raw2_ref, gbuf_ref,
-         gsrc_ref) = rest
-        c2_ref = wh_ref = whdg_ref = hb_ref = ogwh_ref = oghb_ref = None
-        gho_ref = None
+        (ograw1_ref, ogw2_ref, og2s_ref, og2b_ref, og1s_ref,
+         og1b_ref) = rest[:6]
+        scr = rest[6:]
+        wh_ref = whdg_ref = hb_ref = ogwh_ref = oghb_ref = None
+
+    x_keys, in_keys, full_keys = _keys_in(geo)
+    xs = SlotBufs(scr, x_keys)
+    ss = SlotBufs(scr[xs.used:], in_keys)
+    c1 = SlotBufs(scr[xs.used + ss.used:], full_keys)
+    off = xs.used + ss.used + c1.used
+    gsrc = SlotBufs(scr[off:], full_keys)   # head: doubles as c2 slots
+    off += gsrc.used
+    raw1 = scr[off:off + 4]
+    raw2 = scr[off + 4:off + 8]
+    gbuf = scr[off + 8:off + 12]
+    off += 12
+    gho = SlotBufs(scr[off:], in_keys) if fuse_head else None
+    c2 = gsrc
 
     p0 = pl.program_id(0) == 0
     gmat = gmat_ref[:]
     k1 = 4 * (cin + 1) + 9 * cs
     tiles1 = geo.tiles(k1)
     tiles2 = geo.tiles(9 * cout)
-    pk = _phase_keys(geo)
-    read1 = _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo)
+    read1 = _input_reads(x_ref, skip_ref, xs, ss, geo, cs)
     for q in range(4):
-        _zero_pads(c1_ref, (q,), geo, cdt, pk[q])
-    mean1, rstd1 = _fwd_conv_gn(t1, read1, w1_ref, c1_ref, gmat,
+        _zero_pads(c1, q, geo, cdt)
+    mean1, rstd1 = _fwd_conv_gn(t1, read1, _w_at(w1_ref, cout), c1, gmat,
                                 g1s_ref[:], g1b_ref[:], geo, cdt, tiles1,
-                                raw_ref=raw1_ref)
+                                raw=raw1)
 
-    read_c1 = _phase_reader(c1_ref, geo)
+    read_c1 = _phase_reader(c1, geo)
 
     # raw2 (and, with a head, c2 activations)
     if fuse_head:
         for q in range(4):
-            _zero_pads(c2_ref, (q,), geo, cdt, pk[q])
-        mean2, rstd2 = _fwd_conv_gn(t2, read_c1, w2_ref, c2_ref, gmat,
-                                    g2s_ref[:], g2b_ref[:], geo, cdt,
-                                    tiles2, raw_ref=raw2_ref)
+            _zero_pads(c2, q, geo, cdt)
+        mean2, rstd2 = _fwd_conv_gn(t2, read_c1, _w_at(w2_ref, cout), c2,
+                                    gmat, g2s_ref[:], g2b_ref[:], geo,
+                                    cdt, tiles2, raw=raw2)
     else:
         def store_raw2(v, f0, acc):
-            raw2_ref[v, :, f0:f0 + acc.shape[1]] = acc.astype(cdt)
+            raw2[v][:, f0:f0 + acc.shape[1]] = acc.astype(cdt)
 
-        ssum, ssq = _conv_pass(t2, read_c1, w2_ref, geo, cdt, store_raw2,
-                               tiles2)
+        ssum, ssq = _conv_pass(t2, read_c1, _w_at(w2_ref, cout), geo, cdt,
+                               store_raw2, tiles2)
         mean2, rstd2 = _gn_stats(ssum, ssq, gmat)
 
     # gradient w.r.t. c2 activations
     if fuse_head:
         read_gho = _slotified_reader(
-            lambda q, s, F: g_ref[0, q, :, s:s + F], gho_ref, 4,
-            geo, lambda q: pk[q])
+            lambda q, s, F: g_ref[0, q:q + 1, s:s + F], gho, 4, geo)
 
         # head wgrad / bias grad (consumes c2), then head dgrad -> gbuf
         @pl.when(p0)
@@ -541,30 +579,32 @@ def _stage_bwd_tail_kernel(
             ogwh_ref[...] = jnp.zeros(ogwh_ref.shape, ogwh_ref.dtype)
             oghb_ref[...] = jnp.zeros(oghb_ref.shape, oghb_ref.dtype)
         hbacc = None
-        read3 = _phase_reader(c2_ref, geo)
+        read3 = _phase_reader(c2, geo)
         for v in range(4):
-            gv = g_ref[0, v, :, _PAD:_PAD + geo.hwp].astype(jnp.float32)
+            gv = g_ref[0, v:v + 1, _PAD:_PAD + geo.hwp].astype(jnp.float32)
             s = jnp.sum(gv, axis=1, keepdims=True)
             hbacc = s if hbacc is None else hbacc + s
             for f0, F in tiles2:
                 cat = _phase_cat(t2[v], read3, geo, cdt, f0, F)
-                gvt = g_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
-                ogwh_ref[v] += jax.lax.dot_general(
+                gvt = g_ref[0, v:v + 1, _PAD + f0:_PAD + f0 + F]
+                ogwh_ref[v:v + 1] += jax.lax.dot_general(
                     gvt, cat, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
         oghb_ref[...] += hbacc
         for v in range(4):
             for f0, F in tiles2:
                 gc2 = _mask_cols(
-                    _phase_conv(thdg[v], read_gho, geo, whdg_ref[v], cdt,
+                    _phase_conv(thdg[v], read_gho, geo,
+                                whdg_ref[v * cout:(v + 1) * cout], cdt,
                                 f0, F), geo, f0, F)
-                gbuf_ref[v, :, f0:f0 + F] = gc2.astype(cdt)
+                gbuf[v][:, f0:f0 + F] = gc2.astype(cdt)
 
         def read_gc2(v, f0, F):
-            return gbuf_ref[v, :, f0:f0 + F]
+            return gbuf[v][:, f0:f0 + F]
     else:
         def read_gc2(v, f0, F):
-            return g_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
+            return g_ref[0, v * cout:(v + 1) * cout,
+                         _PAD + f0:_PAD + f0 + F]
 
     # GN2 + ReLU backward -> g_raw2 (stored into gsrc slots)
     g2s = g2s_ref[:]
@@ -572,7 +612,7 @@ def _stage_bwd_tail_kernel(
     sgy = sgyx = None
     for v in range(4):
         for f0, F in tiles2:
-            raw = raw2_ref[v, :, f0:f0 + F].astype(jnp.float32)
+            raw = raw2[v][:, f0:f0 + F].astype(jnp.float32)
             xhat = (raw - mean2) * rstd2
             relu_m = (xhat * g2s + g2b) > 0
             gy = jnp.where(relu_m, read_gc2(v, f0, F).astype(jnp.float32),
@@ -595,34 +635,35 @@ def _stage_bwd_tail_kernel(
     mg1 = jnp.dot(gmat, g2s * sgy, preferred_element_type=jnp.float32)
     mg2 = jnp.dot(gmat, g2s * sgyx, preferred_element_type=jnp.float32)
     for q in range(4):
-        _zero_pads(gsrc_ref, (q,), geo, cdt, pk[q])
+        _zero_pads(gsrc, q, geo, cdt)
     for v in range(4):
         for f0, F in tiles2:
-            raw = raw2_ref[v, :, f0:f0 + F].astype(jnp.float32)
+            raw = raw2[v][:, f0:f0 + F].astype(jnp.float32)
             xhat = (raw - mean2) * rstd2
             relu_m = (xhat * g2s + g2b) > 0
             gy = jnp.where(relu_m, read_gc2(v, f0, F).astype(jnp.float32),
                            0.0)
             graw2 = rstd2 * (g2s * gy - mg1 - xhat * mg2)
             graw2 = _mask_cols(graw2, geo, f0, F)
-            _store_tile(gsrc_ref, (v,), graw2.astype(cdt), geo, f0, pk[v])
+            _store_tile(gsrc, v, graw2.astype(cdt), geo, f0)
 
     # conv2 wgrad (reuses the forward tap concat) and dgrad -> g_c1
     for v in range(4):
         for f0, F in tiles2:
             cat = _phase_cat(t2[v], read_c1, geo, cdt, f0, F)
-            gvt = _slot_read(gsrc_ref, (v,), 0, geo, f0, F, pk[v])
-            ogw2_ref[v] += jax.lax.dot_general(
+            gvt = _slot_read(gsrc, v, 0, geo, f0, F)
+            ogw2_ref[v * cout:(v + 1) * cout] += jax.lax.dot_general(
                 gvt, cat, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    read_graw2 = _phase_reader(gsrc_ref, geo)
+    read_graw2 = _phase_reader(gsrc, geo)
     for q in range(4):
         for f0, F in tiles2:
             gc1 = _mask_cols(
-                _phase_conv(t2dg[q], read_graw2, geo, w2dg_ref[q], cdt,
+                _phase_conv(t2dg[q], read_graw2, geo,
+                            w2dg_ref[q * cout:(q + 1) * cout], cdt,
                             f0, F), geo, f0, F)
-            gbuf_ref[q, :, f0:f0 + F] = gc1.astype(cdt)
+            gbuf[q][:, f0:f0 + F] = gc1.astype(cdt)
 
     # GN1 + ReLU backward -> g_raw1 out
     g1s = g1s_ref[:]
@@ -630,11 +671,10 @@ def _stage_bwd_tail_kernel(
     sgy = sgyx = None
     for v in range(4):
         for f0, F in tiles1:
-            raw = raw1_ref[v, :, f0:f0 + F].astype(jnp.float32)
+            raw = raw1[v][:, f0:f0 + F].astype(jnp.float32)
             xhat = (raw - mean1) * rstd1
             relu_m = (xhat * g1s + g1b) > 0
-            gy = jnp.where(relu_m,
-                           gbuf_ref[v, :, f0:f0 + F].astype(jnp.float32),
+            gy = jnp.where(relu_m, gbuf[v][:, f0:f0 + F].astype(jnp.float32),
                            0.0)
             gy = _mask_cols(gy, geo, f0, F)
             s = jnp.sum(gy, axis=1, keepdims=True)
@@ -647,15 +687,15 @@ def _stage_bwd_tail_kernel(
     mg2 = jnp.dot(gmat, g1s * sgyx, preferred_element_type=jnp.float32)
     for v in range(4):
         for f0, F in tiles1:
-            raw = raw1_ref[v, :, f0:f0 + F].astype(jnp.float32)
+            raw = raw1[v][:, f0:f0 + F].astype(jnp.float32)
             xhat = (raw - mean1) * rstd1
             relu_m = (xhat * g1s + g1b) > 0
-            gy = jnp.where(relu_m,
-                           gbuf_ref[v, :, f0:f0 + F].astype(jnp.float32),
+            gy = jnp.where(relu_m, gbuf[v][:, f0:f0 + F].astype(jnp.float32),
                            0.0)
             graw1 = rstd1 * (g1s * gy - mg1 - xhat * mg2)
             graw1 = _mask_cols(graw1, geo, f0, F)
-            ograw1_ref[0, v, :, f0:f0 + F] = graw1.astype(ograw1_ref.dtype)
+            ograw1_ref[0, v * cout:(v + 1) * cout, f0:f0 + F] = \
+                graw1.astype(ograw1_ref.dtype)
 
 
 def _stage_bwd_input_kernel(
@@ -663,21 +703,26 @@ def _stage_bwd_input_kernel(
         cin, cs, cout, geo, n_rep, cdt, t1, t1dgx, t1dgs):
     """Input grads: g_x (per plane), g_skip phases (accumulated per
     image), and the packed conv1 weight grad (accumulated globally)."""
-    (ogx_ref, ogskip_ref, ogw1_ref, xs_ref, ss_ref, gsrc_ref) = rest
+    ogx_ref, ogskip_ref, ogw1_ref = rest[:3]
+    scr = rest[3:]
+    x_keys, in_keys, _ = _keys_in(geo)
+    xs = SlotBufs(scr, x_keys)
+    ss = SlotBufs(scr[xs.used:], in_keys)
+    gsrc = SlotBufs(scr[xs.used + ss.used:], in_keys)
+
     p = pl.program_id(0)
     k1 = 4 * (cin + 1) + 9 * cs
     tiles1 = geo.tiles(k1)
     tilesd = geo.tiles(16 * cout)
-    pk = _phase_keys(geo)
-    read_in = _input_reads(x_ref, skip_ref, xs_ref, ss_ref, geo)
+    read_in = _input_reads(x_ref, skip_ref, xs, ss, geo, cs)
     read_g = _slotified_reader(
-        lambda q, s, F: graw1_ref[0, q, :, s:s + F], gsrc_ref, 4,
-        geo, lambda q: pk[q])
+        lambda q, s, F: graw1_ref[0, q * cout:(q + 1) * cout, s:s + F],
+        gsrc, 4, geo)
 
     # g_x
     for f0, F in tilesd:
         gx = _mask_cols(
-            _phase_conv(t1dgx[0], read_g, geo, w1dgx_ref[0], cdt, f0, F),
+            _phase_conv(t1dgx[0], read_g, geo, w1dgx_ref[:], cdt, f0, F),
             geo, f0, F)
         ogx_ref[0, :, f0:f0 + F] = gx.astype(ogx_ref.dtype)
 
@@ -686,17 +731,18 @@ def _stage_bwd_input_kernel(
     for q in range(4):
         for f0, F in tilesd:
             gs = _mask_cols(
-                _phase_conv(t1dgs[q], read_g, geo, w1dgs_ref[q], cdt,
+                _phase_conv(t1dgs[q], read_g, geo,
+                            w1dgs_ref[q * cs:(q + 1) * cs], cdt,
                             f0, F), geo, f0, F)
 
             @pl.when(first_of_image)
             def _(q=q, f0=f0, gs=gs):
-                ogskip_ref[0, q, :, f0:f0 + gs.shape[1]] = \
+                ogskip_ref[0, q * cs:(q + 1) * cs, f0:f0 + gs.shape[1]] = \
                     gs.astype(ogskip_ref.dtype)
 
             @pl.when(jnp.logical_not(first_of_image))
             def _(q=q, f0=f0, gs=gs):
-                ogskip_ref[0, q, :, f0:f0 + gs.shape[1]] += \
+                ogskip_ref[0, q * cs:(q + 1) * cs, f0:f0 + gs.shape[1]] += \
                     gs.astype(ogskip_ref.dtype)
 
     # conv1 packed wgrad
@@ -706,11 +752,11 @@ def _stage_bwd_input_kernel(
     for v in range(4):
         for f0, F in tiles1:
             cat = _phase_cat(t1[v], read_in, geo, cdt, f0, F)
-            gvt = graw1_ref[0, v, :, _PAD + f0:_PAD + f0 + F]
-            ogw1_ref[v] += jax.lax.dot_general(
+            gvt = graw1_ref[0, v * cout:(v + 1) * cout,
+                            _PAD + f0:_PAD + f0 + F]
+            ogw1_ref[v * cout:(v + 1) * cout] += jax.lax.dot_general(
                 gvt, cat, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-
 
 
 def _pad_plane_rows(x, geo):
@@ -789,11 +835,11 @@ FUSED_VMEM_LIMIT = 15 * 1024 * 1024
 
 def _common_specs(x_pad, skip_pad, geo, n_rep, packed_ops):
     cin = x_pad.shape[1]
-    cs = skip_pad.shape[2]
+    rows = skip_pad.shape[1]
     const = lambda a: pl.BlockSpec(a.shape, lambda pi: (0,) * a.ndim)
     in_specs = [
         pl.BlockSpec((1, cin, geo.L), lambda pi: (pi, 0, 0)),
-        pl.BlockSpec((1, 4, cs, geo.L), lambda pi: (pi // n_rep, 0, 0, 0)),
+        pl.BlockSpec((1, rows, geo.L), lambda pi: (pi // n_rep, 0, 0)),
     ] + [const(a) for a in packed_ops]
     return in_specs
 
@@ -814,23 +860,25 @@ def _stage_fwd_core(x, skip_ph, w1, g1s, g1b, w2, g2s, g2b, wh=None,
     t1, t2 = _fwd_tap_lists(cin, cs, cout)
 
     x_pad = _pad_plane_rows(x.astype(cdt), geo)
-    skip_pad = _pad_plane_rows(skip_ph.astype(cdt), geo)
+    # rank-3 blocks: phases flattened into channel rows (higher-rank
+    # blocks inflate Mosaic compile times like higher-rank scratch)
+    skip_pad = _pad_plane_rows(skip_ph.astype(cdt), geo).reshape(
+        b, 4 * cs, geo.L)
     gmat = _group_mat(cout, h * w)
 
-    packed = [w1.astype(cdt), g1s, g1b, w2.astype(cdt), g2s, g2b, gmat]
+    flat_w = lambda a: a.reshape(-1, a.shape[-1])
+    packed = [flat_w(w1).astype(cdt), g1s, g1b, flat_w(w2).astype(cdt),
+              g2s, g2b, gmat]
     if fuse_head:
-        packed += [wh.astype(cdt), hb]
+        packed += [flat_w(wh).astype(cdt), hb]
     in_specs = _common_specs(x_pad, skip_pad, geo, n_rep, packed)
-    na = len(geo.aligns)
-    ns = geo.ns_phase
-    scratch = [
-        pltpu.VMEM((1, max(na - 1, 1), cin, geo.L), cdt),
-        pltpu.VMEM((4, max(ns - 1, 1), cs, geo.L), cdt),
-        pltpu.VMEM((4, ns, cout, geo.L), cdt),
-    ]
+    x_keys, in_keys, full_keys = _keys_in(geo)
+    scratch = (_slot_scratch(x_keys, cin, geo.L, cdt)
+               + _slot_scratch(in_keys, cs, geo.L, cdt)
+               + _slot_scratch(full_keys, cout, geo.L, cdt))
     out_c = cout
     if fuse_head:
-        scratch.append(pltpu.VMEM((4, ns, cout, geo.L), cdt))
+        scratch += _slot_scratch(full_keys, cout, geo.L, cdt)
         out_c = 1
 
     kernel = functools.partial(
@@ -840,15 +888,15 @@ def _stage_fwd_core(x, skip_ph, w1, g1s, g1b, w2, g2s, g2b, wh=None,
         kernel,
         grid=(p,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 4, out_c, geo.hwp),
-                               lambda pi: (pi, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, 4, out_c, geo.hwp), cdt),
+        out_specs=pl.BlockSpec((1, 4 * out_c, geo.hwp),
+                               lambda pi: (pi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, 4 * out_c, geo.hwp), cdt),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
     )(x_pad, skip_pad, *packed)
-    return _unpad(out, geo)
+    return _unpad(out.reshape(p, 4, out_c, geo.hwp), geo)
 
 
 def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
@@ -867,70 +915,61 @@ def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
     fuse_head = wh is not None
     t1, t2 = _fwd_tap_lists(cin, cs, cout)
     t2dg = invert_taps(t2, 'x', 4, cout)
-    w2dg = pack_dgrad(w2, t2, t2dg, cdt)
+    flat_w = lambda a: a.reshape(-1, a.shape[-1])
+    w2dg = flat_w(pack_dgrad(w2, t2, t2dg, cdt))
 
     x_pad = _pad_plane_rows(x.astype(cdt), geo)
-    skip_pad = _pad_plane_rows(skip_ph.astype(cdt), geo)
-    g_pad = _pad_plane_rows(g_out.astype(cdt), geo)
+    skip_pad = _pad_plane_rows(skip_ph.astype(cdt), geo).reshape(
+        b, 4 * cs, geo.L)
+    g_c = g_out.shape[2]
+    g_pad = _pad_plane_rows(g_out.astype(cdt), geo).reshape(
+        p, 4 * g_c, geo.L)
     gmat = _group_mat(cout, h * w)
-    na = len(geo.aligns)
     k1 = 4 * (cin + 1) + 9 * cs
+    x_keys, in_keys, full_keys = _keys_in(geo)
 
     # ---- kernel A: tail grads -> g_raw1 + weight/GN grads
-    packed = [w1.astype(cdt), g1s, g1b, w2.astype(cdt), g2s, g2b, gmat,
-              w2dg]
+    packed = [flat_w(w1).astype(cdt), g1s, g1b, flat_w(w2).astype(cdt),
+              g2s, g2b, gmat, w2dg]
     head_extra = []
+    thdg = None
     if fuse_head:
-        whdg = pack_dgrad(wh, t2, invert_taps(t2, 'x', 4, 1), cdt)
-        head_extra = [wh.astype(cdt), whdg, hb]
+        thdg = invert_taps(t2, 'x', 4, 1)
+        whdg = flat_w(pack_dgrad(wh, t2, thdg, cdt))
+        head_extra = [flat_w(wh).astype(cdt), whdg, hb]
     in_specs = _common_specs(x_pad, skip_pad, geo, n_rep, packed)
-    g_c = g_out.shape[2]
     in_specs.append(
-        pl.BlockSpec((1, 4, g_c, geo.L), lambda pi: (pi, 0, 0, 0)))
+        pl.BlockSpec((1, 4 * g_c, geo.L), lambda pi: (pi, 0, 0)))
     const = lambda a: pl.BlockSpec(a.shape, lambda pi: (0,) * a.ndim)
     in_specs += [const(a) for a in head_extra]
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((p, 4, cout, geo.hwp), cdt),      # g_raw1
-        jax.ShapeDtypeStruct(w2.shape, jnp.float32),           # g_w2
-        jax.ShapeDtypeStruct((cout, 1), jnp.float32),          # g_g2s
-        jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-        jax.ShapeDtypeStruct((cout, 1), jnp.float32),          # g_g1s
-        jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 4, cout, geo.hwp), lambda pi: (pi, 0, 0, 0)),
-        pl.BlockSpec(w2.shape, lambda pi: (0,) * w2.ndim),
-        pl.BlockSpec((cout, 1), lambda pi: (0, 0)),
-        pl.BlockSpec((cout, 1), lambda pi: (0, 0)),
-        pl.BlockSpec((cout, 1), lambda pi: (0, 0)),
-        pl.BlockSpec((cout, 1), lambda pi: (0, 0)),
-    ]
+    cvec = lambda: (jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                    pl.BlockSpec((cout, 1), lambda pi: (0, 0)))
+    out_shapes = [jax.ShapeDtypeStruct((p, 4 * cout, geo.hwp), cdt)]
+    out_specs = [pl.BlockSpec((1, 4 * cout, geo.hwp),
+                              lambda pi: (pi, 0, 0))]
+    out_shapes.append(jax.ShapeDtypeStruct((4 * cout, w2.shape[-1]),
+                                           jnp.float32))
+    out_specs.append(pl.BlockSpec((4 * cout, w2.shape[-1]),
+                                  lambda pi: (0, 0)))
+    for _ in range(4):
+        sh, sp = cvec()
+        out_shapes.append(sh)
+        out_specs.append(sp)
     if fuse_head:
-        out_shapes += [jax.ShapeDtypeStruct(wh.shape, jnp.float32),
+        out_shapes += [jax.ShapeDtypeStruct((4, wh.shape[-1]), jnp.float32),
                        jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-        out_specs += [pl.BlockSpec(wh.shape, lambda pi: (0,) * wh.ndim),
+        out_specs += [pl.BlockSpec((4, wh.shape[-1]), lambda pi: (0, 0)),
                       pl.BlockSpec((1, 1), lambda pi: (0, 0))]
 
-    ns = geo.ns_phase
-    scratch = [
-        pltpu.VMEM((1, max(na - 1, 1), cin, geo.L), cdt),   # x slots
-        pltpu.VMEM((4, max(ns - 1, 1), cs, geo.L), cdt),    # skip slots
-        pltpu.VMEM((4, ns, cout, geo.L), cdt),              # c1 slots
-    ]
+    scratch = (_slot_scratch(x_keys, cin, geo.L, cdt)
+               + _slot_scratch(in_keys, cs, geo.L, cdt)
+               + _slot_scratch(full_keys, cout, geo.L, cdt)
+               + _slot_scratch(full_keys, cout, geo.L, cdt)  # gsrc/c2
+               + [pltpu.VMEM((cout, geo.hwp), cdt)
+                  for _ in range(12)])                        # raw1/2, gbuf
     if fuse_head:
-        scratch.append(pltpu.VMEM((4, ns, cout, geo.L), cdt))  # c2/graw2
-    scratch += [
-        pltpu.VMEM((4, cout, geo.hwp), cdt),        # raw1
-        pltpu.VMEM((4, cout, geo.hwp), cdt),        # raw2
-        pltpu.VMEM((4, cout, geo.hwp), cdt),        # g buffer
-    ]
-    if fuse_head:
-        scratch.append(
-            pltpu.VMEM((4, max(ns - 1, 1), 1, geo.L), cdt))    # g_ho
-    else:
-        scratch.append(pltpu.VMEM((4, ns, cout, geo.L), cdt))  # graw2
-    thdg = invert_taps(t2, 'x', 4, 1) if fuse_head else None
+        scratch += _slot_scratch(in_keys, 1, geo.L, cdt)      # g_ho
     kernel = functools.partial(
         _stage_bwd_tail_kernel, cin=cin, cs=cs, cout=cout, geo=geo,
         fuse_head=fuse_head, cdt=cdt, t1=t1, t2=t2, t2dg=t2dg, thdg=thdg)
@@ -954,33 +993,29 @@ def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
     # ---- kernel B: input grads + conv1 packed wgrad
     t1dgx = invert_taps(t1, 'x', 1, cout)
     t1dgs = invert_taps(t1, 'skip', 4, cout)
-    w1dgx = pack_dgrad(w1, t1, t1dgx, cdt)
-    w1dgs = pack_dgrad(w1, t1, t1dgs, cdt)
+    w1dgx = flat_w(pack_dgrad(w1, t1, t1dgx, cdt))
+    w1dgs = flat_w(pack_dgrad(w1, t1, t1dgs, cdt))
     graw1_pad = _pad_flat(graw1, geo)
 
     in_specs_b = [
         pl.BlockSpec((1, cin, geo.L), lambda pi: (pi, 0, 0)),
-        pl.BlockSpec((1, 4, cs, geo.L), lambda pi: (pi // n_rep, 0, 0, 0)),
-        pl.BlockSpec((1, 4, cout, geo.L), lambda pi: (pi, 0, 0, 0)),
-        pl.BlockSpec(w1dgx.shape, lambda pi: (0,) * w1dgx.ndim),
-        pl.BlockSpec(w1dgs.shape, lambda pi: (0,) * w1dgs.ndim),
+        pl.BlockSpec((1, 4 * cs, geo.L), lambda pi: (pi // n_rep, 0, 0)),
+        pl.BlockSpec((1, 4 * cout, geo.L), lambda pi: (pi, 0, 0)),
+        const(w1dgx), const(w1dgs),
     ]
     out_shapes_b = [
-        jax.ShapeDtypeStruct((p, cin, geo.hwp), cdt),          # g_x
-        jax.ShapeDtypeStruct((b, 4, cs, geo.hwp), jnp.float32),  # g_skip
-        jax.ShapeDtypeStruct(w1.shape, jnp.float32),           # g_w1
+        jax.ShapeDtypeStruct((p, cin, geo.hwp), cdt),            # g_x
+        jax.ShapeDtypeStruct((b, 4 * cs, geo.hwp), jnp.float32),  # g_skip
+        jax.ShapeDtypeStruct((4 * cout, w1.shape[-1]), jnp.float32),
     ]
     out_specs_b = [
         pl.BlockSpec((1, cin, geo.hwp), lambda pi: (pi, 0, 0)),
-        pl.BlockSpec((1, 4, cs, geo.hwp),
-                     lambda pi: (pi // n_rep, 0, 0, 0)),
-        pl.BlockSpec(w1.shape, lambda pi: (0,) * w1.ndim),
+        pl.BlockSpec((1, 4 * cs, geo.hwp), lambda pi: (pi // n_rep, 0, 0)),
+        pl.BlockSpec((4 * cout, w1.shape[-1]), lambda pi: (0, 0)),
     ]
-    scratch_b = [
-        pltpu.VMEM((1, max(na - 1, 1), cin, geo.L), cdt),
-        pltpu.VMEM((4, max(ns - 1, 1), cs, geo.L), cdt),
-        pltpu.VMEM((4, max(ns - 1, 1), cout, geo.L), cdt),  # g_raw1 slots
-    ]
+    scratch_b = (_slot_scratch(x_keys, cin, geo.L, cdt)
+                 + _slot_scratch(in_keys, cs, geo.L, cdt)
+                 + _slot_scratch(in_keys, cout, geo.L, cdt))  # g_raw1
     kernel_b = functools.partial(
         _stage_bwd_input_kernel, cin=cin, cs=cs, cout=cout, geo=geo,
         n_rep=n_rep, cdt=cdt, t1=t1, t1dgx=t1dgx, t1dgs=t1dgs)
@@ -997,11 +1032,13 @@ def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
     )(x_pad, skip_pad, graw1_pad, w1dgx, w1dgs)
 
     res = [_unpad(gx, geo).astype(x.dtype),
-           _unpad(gskip, geo).astype(skip_ph.dtype),
-           gw1.astype(w1.dtype), gg1s, gg1b, gw2.astype(w2.dtype),
-           gg2s, gg2b]
+           _unpad(gskip.reshape(b, 4, cs, geo.hwp),
+                  geo).astype(skip_ph.dtype),
+           gw1.reshape(w1.shape).astype(w1.dtype), gg1s, gg1b,
+           gw2.reshape(w2.shape).astype(w2.dtype), gg2s, gg2b]
     if fuse_head:
-        res += [gwh.astype(wh.dtype), ghb.reshape(hb.shape)]
+        res += [gwh.reshape(wh.shape).astype(wh.dtype),
+                ghb.reshape(hb.shape)]
     return tuple(res)
 
 
