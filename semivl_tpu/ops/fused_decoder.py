@@ -830,7 +830,10 @@ def stage_vmem_bytes(cin, cs, cout, h, w, fuse_head, backward=False):
             + 2 * weights + outw + trans)
 
 
-FUSED_VMEM_LIMIT = 15 * 1024 * 1024
+# Calibrated against Mosaic compile success on v5e: the flagship
+# backward (estimate 17.9 MB with its conservative transient term)
+# compiles and runs; 801-crop estimates (30+ MB) do not fit.
+FUSED_VMEM_LIMIT = 19 * 1024 * 1024
 
 
 def _common_specs(x_pad, skip_pad, geo, n_rep, packed_ops):

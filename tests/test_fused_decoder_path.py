@@ -126,11 +126,14 @@ def test_fused_decoder_vmem_gate_decision():
                        decoder_kernel='fused', dtype=dtype)
 
     from semivl_tpu.ops.fused_decoder import fused_decoder_ok
-    # forward-only gate: flagship qualifies regardless of model dtype
+    # flagship 512-crop qualifies for BOTH training (backward kernels)
+    # and forward-only use, regardless of model dtype
+    assert fused_decoder_ok(128, 32, 64, 16, 32, 32, 32, backward=True)
     assert fused_decoder_ok(128, 32, 64, 16, 32, 32, 32, backward=False)
+    assert head(jnp.bfloat16).fused_decoder_ok(32, 32)
+    assert head(jnp.float32).fused_decoder_ok(32, 32)
+    # 801-crop Cityscapes planes exceed the per-program VMEM budget
+    assert not fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=True)
     # row-stride bound: base w > 64 cannot host 2w in 128 lanes
     assert not fused_decoder_ok(128, 32, 64, 16, 32, 100, 100,
                                 backward=False)
-    # the head method routes through the same gate for both dtypes
-    assert (head(jnp.bfloat16).fused_decoder_ok(32, 32)
-            == head(jnp.float32).fused_decoder_ok(32, 32))
