@@ -65,16 +65,6 @@ class Evaluator:
     """
 
     def __init__(self, module, params, text_feats, cfg, mesh=None):
-        world = int(mesh.devices.size) if mesh is not None else 1
-        head_cfg = getattr(module, 'decode_head_cfg', None)
-        if (world > 1 and isinstance(head_cfg, dict)
-                and head_cfg.get('decoder_kernel') in ('fused',
-                                                       'fused_fwd')):
-            # multi-chip eval shards crops with auto-partitioned jit,
-            # which cannot partition a pallas_call — revert to the XLA
-            # decoder (same params) for sharded forwards
-            module = module.clone(decode_head_cfg={
-                **head_cfg, 'decoder_kernel': 'xla'})
         self.module = module
         self.params = params
         self.text = jnp.asarray(text_feats)
@@ -128,10 +118,11 @@ class Evaluator:
                 return self.module.apply(params, x, text).astype(out_dtype)
 
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                data_sharding = NamedSharding(self.mesh, P('data'))
-                self._jit_cache[key] = jax.jit(
-                    fwd, in_shardings=(None, data_sharding, None))
+                from jax.sharding import PartitionSpec as P
+                sharded = jax.shard_map(
+                    fwd, mesh=self.mesh, in_specs=(P(), P('data'), P()),
+                    out_specs=P('data'), check_vma=False)
+                self._jit_cache[key] = jax.jit(sharded)
             else:
                 self._jit_cache[key] = jax.jit(fwd)
         return self._jit_cache[key](self.params, jnp.asarray(batch),
@@ -197,16 +188,23 @@ class Evaluator:
                 lambda: jnp.zeros(shape, jnp.float32))
         return self._jit_cache[key]()
 
-    def _acc_group(self, canvas, img_dev, n, ch, cw, ys, xs, softmax):
+    def _acc_group(self, canvas, img_dev, n, ch, cw, ys, xs, valid,
+                   softmax):
         """canvas (C, Hp, Wp) fp32 += scatter of model outputs on ``n``
         (ch, cw) crops sliced on-device from the padded image at (ys, xs).
 
         Slicing on device means each image uploads once, not once per
-        overlapping window (2-3x less host->device traffic)."""
+        overlapping window (2-3x less host->device traffic). With a mesh,
+        the crops are sharded over the data axis via shard_map (so the
+        fused Pallas decoder runs per shard) and each device scatter-adds
+        its share into a local canvas delta that is psum-reduced — all
+        chips cooperate on one image's windows. ``valid`` masks the
+        crops added for world-size alignment.
+        """
         key = ('acc', n, ch, cw, canvas.shape, img_dev.shape,
                str(img_dev.dtype), softmax)
         if key not in self._jit_cache:
-            def fn(params, text, canvas, img, ys, xs):
+            def local(params, text, img, ys, xs, valid, cshape):
                 def get(y, x):
                     return jax.lax.dynamic_slice(
                         img, (0, y, x, 0), (1, ch, cw, 3))[0]
@@ -216,6 +214,7 @@ class Evaluator:
                 vals = logits.astype(jnp.float32)
                 if softmax:
                     vals = jax.nn.softmax(vals, axis=1)
+                vals = vals * valid[:, None, None, None]
 
                 def body(i, cv):
                     pos = (0, ys[i], xs[i])
@@ -224,29 +223,61 @@ class Evaluator:
                     return jax.lax.dynamic_update_slice(
                         cv, patch + vals[i], pos)
 
-                return jax.lax.fori_loop(0, n, body, canvas)
+                return jax.lax.fori_loop(0, ys.shape[0], body,
+                                         jnp.zeros(cshape, jnp.float32))
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                def fn(params, text, canvas, img, ys, xs, valid):
+                    def shard(params, text, img, ys, xs, valid):
+                        delta = local(params, text, img, ys, xs, valid,
+                                      canvas.shape)
+                        return jax.lax.psum(delta, 'data')
+
+                    delta = jax.shard_map(
+                        shard, mesh=self.mesh,
+                        in_specs=(P(), P(), P(), P('data'), P('data'),
+                                  P('data')),
+                        out_specs=P(), check_vma=False)(
+                            params, text, img, ys, xs, valid)
+                    return canvas + delta
+            else:
+                def fn(params, text, canvas, img, ys, xs, valid):
+                    return canvas + local(params, text, img, ys, xs,
+                                          valid, canvas.shape)
 
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(2,))
         return self._jit_cache[key](
             self.params, self.text, canvas, img_dev,
-            jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32))
+            jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
+            jnp.asarray(valid, jnp.float32))
 
     def _accumulate(self, canvas, img, coords, ch, cw, softmax):
         """Chunked scatter-accumulate of same-shaped windows into canvas.
 
         ``img``: (1, H, W, 3) numpy; uploaded once, zero-padded to the
         canvas bucket so slice programs don't specialise on exact shapes.
+        Chunks are padded to multiples of the mesh size with invalid
+        (masked-out) crops.
         """
         hp, wp = canvas.shape[1:]
         pad = np.zeros((1, hp, wp, 3), img.dtype)
         pad[:, :img.shape[1], :img.shape[2]] = img
         img_dev = jnp.asarray(pad)
+        n_real = len(coords)
+        n = -(-n_real // self.world) * self.world
+        coords = list(coords) + [(0, 0)] * (n - n_real)
+        valid = [1.0] * n_real + [0.0] * (n - n_real)
         off = 0
-        for c in _chunk_sizes(len(coords)):
+        max_chunk = -(-32 // self.world) * self.world
+        for c in _chunk_sizes(n // self.world, max_chunk // self.world):
+            c *= self.world
             ys = [coords[off + i][0] for i in range(c)]
             xs = [coords[off + i][1] for i in range(c)]
+            va = [valid[off + i] for i in range(c)]
             canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys, xs,
-                                     softmax)
+                                     va, softmax)
             off += c
         return canvas
 
@@ -294,8 +325,7 @@ class Evaluator:
             # exact zeros and _to_model_input passes floats through.
             from semivl_tpu.data import transforms as T
             img = T.normalize(img[0])[None]
-        device = (self.device_accumulate and self.world == 1
-                  and not return_logits)
+        device = self.device_accumulate and not return_logits
         if mode == 'zegclip_sliding_window':
             out = (self._zegclip_sliding_device(img, mask_shape) if device
                    else self._zegclip_sliding(img, mask_shape))
@@ -396,12 +426,20 @@ class Evaluator:
         pad[:, :h, :w] = img
         img_dev = jnp.asarray(pad)
         for (ch, cw), coords in shapes.items():
+            n_real = len(coords)
+            n = -(-n_real // self.world) * self.world
+            coords = list(coords) + [(0, 0)] * (n - n_real)
+            valid = [1.0] * n_real + [0.0] * (n - n_real)
             off = 0
-            for c in _chunk_sizes(len(coords)):
+            max_chunk = -(-32 // self.world) * self.world
+            for c in _chunk_sizes(n // self.world,
+                                  max_chunk // self.world):
+                c *= self.world
                 ys = [coords[off + i][0] for i in range(c)]
                 xs = [coords[off + i][1] for i in range(c)]
-                canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys, xs,
-                                         softmax=True)
+                va = [valid[off + i] for i in range(c)]
+                canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys,
+                                         xs, va, softmax=True)
                 off += c
         dev = self._finalize_argmax(canvas)
         return self.Deferred(dev, (h, w)), None

@@ -30,7 +30,12 @@ EMB_DATASET_PREFIX = {
 
 
 def text_embedding_path(dataset, variant):
-    """Path of the bundled text-embedding asset for (dataset, variant)."""
+    """Path of the bundled text-embedding asset for (dataset, variant).
+
+    An absolute ``.npy`` path passes through unchanged (custom guidance
+    embeddings, e.g. tools/semi_effect_demo.py's synthetic-CLIP text)."""
+    if os.path.isabs(str(variant)):
+        return variant
     prefix = EMB_DATASET_PREFIX[dataset]
     return os.path.join(_ASSET_DIR, f'{prefix}_{variant}.npy')
 

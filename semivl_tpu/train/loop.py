@@ -116,6 +116,19 @@ def init_state(bundle, cfg, total_iters, seed=0, pretrained=None):
         from semivl_tpu.tools.convert_clip_weights import load_pretrained_into
         variables = load_pretrained_into(variables, pretrained,
                                          bundle=bundle)
+    if cfg.get('init_param_overrides'):
+        # npz of '/'-joined param paths -> arrays, merged after init (e.g.
+        # a pretrained guidance encoder for tools/semi_effect_demo.py)
+        loaded = np.load(cfg['init_param_overrides'])
+        params = variables['params']
+        for key in loaded.files:
+            node = params
+            parts = key.split('/')
+            for p_ in parts[:-1]:
+                node = node[p_]
+            assert parts[-1] in node, key
+            node[parts[-1]] = jnp.asarray(loaded[key])
+        variables = {**variables, 'params': params}
     tx, sched, mask = build_optimizer(
         cfg, variables['params'],
         total_iters=total_iters,
@@ -294,11 +307,19 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
     state = replicate(state, mesh)
     # Multi-process: each host evaluates its strided share of the val set
-    # on its LOCAL devices (global-mesh eval outputs are not addressable
-    # per-process); the per-class histograms are reduced globally inside
-    # ``evaluate`` via process_allgather (reference supervised.py:154-156).
+    # on a LOCAL-device mesh (global-mesh eval outputs are not addressable
+    # per-process, but a per-host mesh over jax.local_devices() keeps every
+    # local chip busy on that host's images); per-class histograms are
+    # reduced globally inside ``evaluate`` via process_allgather
+    # (reference supervised.py:154-156).
+    if pcount == 1:
+        eval_mesh = mesh
+    else:
+        local = jax.local_devices()
+        eval_mesh = (Mesh(np.array(local), ('data',))
+                     if len(local) > 1 else None)
     evaluator = Evaluator(bundle.module_fwd, None, bundle.text_feats, cfg,
-                          mesh=mesh if pcount == 1 else None)
+                          mesh=eval_mesh)
     # Per-step RNG = fold_in(base, global_step): stateless, so mid-epoch
     # resume reproduces the exact key stream of an uninterrupted run (a
     # split chain could not be fast-forwarded).

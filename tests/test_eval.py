@@ -173,3 +173,54 @@ def test_padded_mode_uint8_pads_in_normalised_space(tiny_eval, rng):
     pred_u8 = ev.predict(raw, mask_shape, 'padded_sliding_window')
     pred_f32 = ev.predict(img_f32, mask_shape, 'padded_sliding_window')
     np.testing.assert_array_equal(pred_u8, pred_f32)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('mode', ['zegclip_sliding_window', 'sliding_window'])
+def test_mesh_eval_matches_single_device(tiny_eval, mode, rng):
+    """Round-3 multi-chip eval fast path: with a mesh, crop forwards run
+    under shard_map (so Pallas decoders survive world > 1) and the device
+    canvas is assembled as a psum of per-device partial canvases. The
+    world=8 predictions must match the single-device device path."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    img = rng.randn(1, 106, 117, 3).astype(np.float32)
+    mask_shape = (106, 117) if mode == 'sliding_window' else (97, 111)
+
+    mesh = Mesh(np.array(_jax.devices()[:8]), ('data',))
+    ev_mesh = Evaluator(bundle.module, params, bundle.text_feats, cfg,
+                        mesh=mesh)
+    ev_one = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    pred_mesh = ev_mesh.predict(img, mask_shape, mode)
+    pred_one = ev_one.predict(img, mask_shape, mode)
+    assert pred_mesh.shape == pred_one.shape == (1,) + mask_shape
+    agree = (pred_mesh == pred_one).mean()
+    assert agree >= 0.999, agree
+
+
+@pytest.mark.slow
+def test_mesh_eval_full_evaluate(tiny_eval):
+    """evaluate() end-to-end on the mesh path (window counts not
+    divisible by the world size exercise the validity masking)."""
+    import os
+    import jax as _jax
+    from jax.sharding import Mesh
+    from semivl_tpu.data.dataset import SemiDataset
+
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    ds = SemiDataset(cfg, 'val',
+                     id_path=os.path.join(root, 'splits', 'val.txt'))
+    mesh = Mesh(np.array(_jax.devices()[:8]), ('data',))
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg, mesh=mesh)
+    miou, iou_class = evaluate(ev, ds, 'zegclip_sliding_window', cfg)
+    ev1 = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    miou1, _ = evaluate(ev1, ds, 'zegclip_sliding_window', cfg)
+    assert abs(miou - miou1) < 0.5, (miou, miou1)
