@@ -172,6 +172,7 @@ def _base_cfg(root, paths, method, epochs, guidance=None):
     if guidance:
         text_path, enc_path = guidance
         cfg['clip_encoder'] = 'tiny-mcvit-test'
+        cfg['mcc_fix_resize_pos'] = True   # build guidance at crop size
         cfg['mcc_text'] = text_path
         cfg['mcc_conf_thresh'] = 0.75
         cfg['init_param_overrides'] = enc_path

@@ -344,6 +344,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
     log_avg = DictAverageMeter()
     done = False
     step_warmed = False  # multi-host: compile-then-barrier before step 1
+    eval_warmed = False  # multi-host: eval compile warmup + barrier
     for epoch in range(start_epoch, cfg['epochs']):
         if done:
             break
@@ -494,6 +495,23 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 or epoch == cfg['epochs'] - 1 or done):
             evaluator.update_params(jax.device_get(state.params))
             eval_mode = cfg['eval_mode']
+            if pcount > 1 and not eval_warmed:
+                # Warm every distinct local val-image shape's eval programs
+                # (predict has no cross-process collective), then
+                # rendezvous: otherwise per-host compile skew at the first
+                # eval would exceed the collective transport's ~30 s
+                # connect window at the final histogram allgather.
+                from jax.experimental import multihost_utils
+                seen_shapes = set()
+                for vi in range(pidx, len(valset), pcount):
+                    shp = valset.get(vi)['img'].shape
+                    if shp in seen_shapes:
+                        continue
+                    seen_shapes.add(shp)
+                    dummy = np.zeros((1,) + shp, np.float32)
+                    evaluator.predict(dummy, shp[:2], eval_mode)
+                multihost_utils.sync_global_devices('semivl:eval_warmed')
+                eval_warmed = True
             miou, iou_class = evaluate(evaluator, valset, eval_mode, cfg,
                                        process_index=pidx,
                                        process_count=pcount)
