@@ -209,37 +209,8 @@ class Up(nn.Module):
     skip_channels: int
     dtype: Dtype = jnp.float32
 
-    def _fused_apply(self, x_cf, skip_nhwc, head_params):
-        """Forward through the fused Pallas up-stage kernel
-        (ops/fused_up.py) on channel-first planes; declares the exact
-        same param tree as the XLA branch. Inference/teacher path only
-        (the kernel has no custom VJP yet)."""
-        from semivl_tpu.ops.fused_up import fused_up_stage
-        c = x_cf.shape[1]
-        up_c = c - self.skip_channels
-        params = {
-            'up_kernel': self.param('up_kernel',
-                                    nn.initializers.lecun_normal(),
-                                    (2, 2, c, up_c), jnp.float32),
-            'up_bias': self.param('up_bias', nn.initializers.zeros,
-                                  (up_c,), jnp.float32),
-        }
-        cs = skip_nhwc.shape[-1]
-        params['conv1'] = _ConvGNParams(self.out_channels, up_c + cs,
-                                        name='conv1')()
-        params['conv2'] = _ConvGNParams(self.out_channels,
-                                        self.out_channels, name='conv2')()
-        h2 = 2 * x_cf.shape[2]
-        w2 = 2 * x_cf.shape[3]
-        skip = resize(skip_nhwc, (h2, w2), mode='bilinear',
-                      align_corners=True)
-        skip_cf = jnp.transpose(skip, (0, 3, 1, 2)).astype(x_cf.dtype)
-        return fused_up_stage(x_cf, skip_cf, params,
-                              head_params=head_params)
-
     @nn.compact
-    def __call__(self, x, skip=None, fused=False, head_params=None,
-                 declare=False, in_channels=None):
+    def __call__(self, x, skip=None, declare=False, in_channels=None):
         if declare:
             # Declare the exact same param tree without running any op —
             # the fused chain kernel (ops/fused_decoder.py) consumes it.
@@ -257,9 +228,6 @@ class Up(nn.Module):
                 'conv2': _ConvGNParams(self.out_channels,
                                        self.out_channels, name='conv2')(),
             }
-        if fused:
-            # x: (P, C, h, w) channel-first; skip: NHWC at any resolution
-            return self._fused_apply(x, skip, head_params)
         c = x.shape[-1]
         up_c = c - self.skip_channels
         kernel = self.param('up_kernel', nn.initializers.lecun_normal(),

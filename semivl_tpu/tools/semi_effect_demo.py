@@ -38,20 +38,26 @@ CLASS_COLORS = np.array([
 
 
 def make_blob_dataset(root, n_labeled, n_unlabeled, n_val, size=(72, 88),
-                      seed=0):
+                      seed=0, labeled_classes=(1, 2)):
+    """Labeled images draw blobs only from ``labeled_classes`` — the
+    regime SemiVL targets: classes the labeled set never shows can only
+    be learned from unlabeled images via guidance (supervised and plain
+    pseudo-label consistency cannot invent them, the frozen pretrained
+    guidance encoder can)."""
     from PIL import Image
     rs = np.random.RandomState(seed)
     img_dir = os.path.join(root, 'imgs')
     mask_dir = os.path.join(root, 'masks')
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(mask_dir, exist_ok=True)
+    all_classes = tuple(range(1, len(CLASS_COLORS)))
 
-    def write_sample(name):
+    def write_sample(name, pool):
         h, w = size
         mask = np.zeros((h, w), np.uint8)
         img = np.tile(CLASS_COLORS[0], (h, w, 1)).astype(np.int16)
         for _ in range(rs.randint(2, 5)):
-            c = rs.randint(1, len(CLASS_COLORS))
+            c = pool[rs.randint(0, len(pool))]
             bh, bw = rs.randint(h // 6, h // 2), rs.randint(w // 6, w // 2)
             y, x = rs.randint(0, h - bh), rs.randint(0, w - bw)
             mask[y:y + bh, x:x + bw] = c
@@ -67,7 +73,8 @@ def make_blob_dataset(root, n_labeled, n_unlabeled, n_val, size=(72, 88),
     paths = {}
     for kind, n in (('labeled', n_labeled), ('unlabeled', n_unlabeled),
                     ('val', n_val)):
-        lines = [write_sample(f'{kind[0]}{i}') for i in range(n)]
+        pool = labeled_classes if kind == 'labeled' else all_classes
+        lines = [write_sample(f'{kind[0]}{i}', pool) for i in range(n)]
         p = os.path.join(splits_dir, f'{kind}.txt')
         with open(p, 'w') as f:
             f.write('\n'.join(lines) + '\n')
@@ -224,7 +231,7 @@ def main():
     parser.add_argument('--out-root', default='/tmp/semi_effect_demo')
     parser.add_argument('--n-labeled', type=int, default=2)
     parser.add_argument('--n-unlabeled', type=int, default=16)
-    parser.add_argument('--n-val', type=int, default=6)
+    parser.add_argument('--n-val', type=int, default=8)
     parser.add_argument('--sup-epochs', type=int, default=48,
                         help='supervised epochs (1 iter/epoch at 2 labeled '
                              'bs2) chosen to match total steps')
