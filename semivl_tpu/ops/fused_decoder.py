@@ -830,10 +830,12 @@ def stage_vmem_bytes(cin, cs, cout, h, w, fuse_head, backward=False):
             + 2 * weights + outw + trans)
 
 
-# Calibrated against Mosaic compile success on v5e: the flagship
-# backward (estimate 17.9 MB with its conservative transient term)
-# compiles and runs; 801-crop estimates (30+ MB) do not fit.
+# Calibrated against Mosaic compile success on v5e (the analytic
+# transient term is conservative): the flagship backward (estimate
+# 17.9 MB) and the 801-crop FORWARD chain (estimates 17.1/21.5 MB)
+# both compile and run; the 801-crop backward (30-39 MB) does not fit.
 FUSED_VMEM_LIMIT = 19 * 1024 * 1024
+FUSED_VMEM_LIMIT_FWD = 22 * 1024 * 1024
 
 
 def _common_specs(x_pad, skip_pad, geo, n_rep, packed_ops):
@@ -1162,4 +1164,5 @@ def fused_decoder_ok(cin, cs1, cout1, cs2, cout2, h, w, backward=True):
     a = stage_vmem_bytes(cin, cs1, cout1, h, w, False, backward=backward)
     b = stage_vmem_bytes(cout1, cs2, cout2, 2 * h, 2 * w, True,
                          backward=backward)
-    return max(a, b) <= FUSED_VMEM_LIMIT
+    limit = FUSED_VMEM_LIMIT if backward else FUSED_VMEM_LIMIT_FWD
+    return max(a, b) <= limit

@@ -504,12 +504,15 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 from jax.experimental import multihost_utils
                 seen_shapes = set()
                 for vi in range(pidx, len(valset), pcount):
-                    shp = valset.get(vi)['img'].shape
-                    if shp in seen_shapes:
+                    img = valset.get(vi)['img']
+                    key = (img.shape, img.dtype)
+                    if key in seen_shapes:
                         continue
-                    seen_shapes.add(shp)
-                    dummy = np.zeros((1,) + shp, np.float32)
-                    evaluator.predict(dummy, shp[:2], eval_mode)
+                    seen_shapes.add(key)
+                    # dtype must match the real transport (uint8 by
+                    # default) or the warmup compiles the wrong programs
+                    dummy = np.zeros((1,) + img.shape, img.dtype)
+                    evaluator.predict(dummy, img.shape[:2], eval_mode)
                 multihost_utils.sync_global_devices('semivl:eval_warmed')
                 eval_warmed = True
             miou, iou_class = evaluate(evaluator, valset, eval_mode, cfg,

@@ -132,7 +132,9 @@ def test_fused_decoder_vmem_gate_decision():
     assert fused_decoder_ok(128, 32, 64, 16, 32, 32, 32, backward=False)
     assert head(jnp.bfloat16).fused_decoder_ok(32, 32)
     assert head(jnp.float32).fused_decoder_ok(32, 32)
-    # 801-crop Cityscapes planes exceed the per-program VMEM budget
+    # 801-crop Cityscapes: the forward chain fits (compiled+ran on-chip,
+    # teacher/eval path), the backward kernels do not
+    assert fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=False)
     assert not fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=True)
     # row-stride bound: base w > 64 cannot host 2w in 128 lanes
     assert not fused_decoder_ok(128, 32, 64, 16, 32, 100, 100,
