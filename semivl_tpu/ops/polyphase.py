@@ -37,11 +37,10 @@ same tap lists, so kernel parity reduces to executing verified math.
 """
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from semivl_tpu.ops.fused_up import composite_phase_kernels
 

@@ -195,48 +195,17 @@ def _base_cfg(root, paths, method, epochs, guidance=None):
     return cfg
 
 
-def _read_curve(save_path, n_present=len(CLASS_COLORS)):
-    """Parse metrics.jsonl -> per-epoch (mIoU, present-class mIoU).
-
-    The blob task uses classes 0..n_present-1 of the 21-class tiny model;
-    'present mIoU' averages only those, removing the 16-absent-class
-    dilution from the headline number."""
-    import json as _json
-
-    from semivl_tpu.datasets.classes import CLASSES
-    present = [f'eval/{CLASSES["pascal"][i]}_IoU' for i in range(n_present)]
-    by_epoch = {}
-    with open(os.path.join(save_path, 'metrics.jsonl')) as f:
-        for line in f:
-            rec = _json.loads(line)
-            keys = [k for k in rec if k not in ('t', 'step')]
-            if not keys:
-                continue
-            k = keys[0]
-            if k == 'eval/mIoU' or k in present:
-                by_epoch.setdefault(rec['step'], {})[k] = rec[k]
-    curve = []
-    for ep in sorted(by_epoch):
-        row = by_epoch[ep]
-        if 'eval/mIoU' not in row:
-            continue
-        pres = [row[k] for k in present if k in row]
-        curve.append((ep, row['eval/mIoU'],
-                      sum(pres) / len(pres) if pres else float('nan')))
-    return curve
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--out-root', default='/tmp/semi_effect_demo')
     parser.add_argument('--n-labeled', type=int, default=2)
     parser.add_argument('--n-unlabeled', type=int, default=16)
     parser.add_argument('--n-val', type=int, default=8)
-    parser.add_argument('--sup-epochs', type=int, default=48,
+    parser.add_argument('--sup-epochs', type=int, default=240,
                         help='supervised epochs (1 iter/epoch at 2 labeled '
                              'bs2) chosen to match total steps')
-    parser.add_argument('--semi-epochs', type=int, default=6)
-    parser.add_argument('--eval-every', type=int, default=1)
+    parser.add_argument('--semi-epochs', type=int, default=30)
+    parser.add_argument('--eval-every', type=int, default=5)
     parser.add_argument('--seeds', type=int, default=3)
     parser.add_argument('--seed', type=int, default=0,
                         help='first seed (runs seed..seed+seeds-1)')

@@ -32,6 +32,14 @@ def init_log(name='global', level=logging.INFO):
 
 
 def add_file_handler(logger, path):
+    """Attach the run's debug.log handler, replacing any previous run's
+    (multiple train() calls in one process — tests, semi_effect_demo —
+    would otherwise write every later run's lines into all earlier run
+    dirs)."""
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
+            logger.removeHandler(h)
+            h.close()
     fh = logging.FileHandler(path)
     fh.setFormatter(logging.Formatter(
         '[%(asctime)s] [%(levelname)-8s] %(message)s'))
