@@ -96,8 +96,11 @@ class Geometry:
 
     def tiles(self, max_k):
         """Row-aligned lane tiles (f0, F): f0 multiples of 128, sized so
-        a (max_k, F) bf16 concat stays under ~1.5 MB."""
-        target = max(128, (1536 * 1024 // (2 * max_k)) // 128 * 128)
+        a (max_k, F) bf16 concat stays under ~1 MB (the concat and its
+        rolled pieces are STACK allocations inside the kernel body; the
+        up2 backward was measured 253 KB over the 16 MB scoped-VMEM edge
+        at a 1.5 MB target)."""
+        target = max(128, (1024 * 1024 // (2 * max_k)) // 128 * 128)
         rows_per = max(self.nc, (target // self.ws) // self.nc * self.nc)
         out = []
         r = 0
