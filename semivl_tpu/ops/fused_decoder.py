@@ -990,7 +990,12 @@ def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=('arbitrary',),
+            # the backward-tail's scratch + stack sits at the default
+            # 16 MB scoped budget's edge in some surrounding programs;
+            # v5e's physical VMEM accommodates the raised cap (validated
+            # by running, not just compiling)
+            vmem_limit_bytes=18 * 1024 * 1024),
     )(x_pad, skip_pad, *packed, g_pad, *head_extra)
     if fuse_head:
         graw1, gw2, gg2s, gg2b, gg1s, gg1b, gwh, ghb = outs
