@@ -71,7 +71,7 @@ class DeepLabV3Plus(nn.Module):
         return self.classifier(x)  # 1x1 conv == dense over channels
 
     def __call__(self, img, text_feats=None, need_fp=False, only_fp=False,
-                 train=False):
+                 train=False, fp_slice=None):
         del text_feats
         h, w = img.shape[1:3]
         c1, c4 = self.encoder(img, train=train)
@@ -85,11 +85,11 @@ class DeepLabV3Plus(nn.Module):
                 out = resize(out.astype(jnp.float32), (h, w),
                              mode='bilinear', align_corners=True)
                 return out.transpose(0, 3, 1, 2)
-            # fp decoded for the w-half only (see VLM.__call__ rationale)
+            # fp decoded for the w slice only (see VLM.__call__ rationale)
             b = img.shape[0]
-            half = b // 2
-            c1_p = dropout2d(r1, c1[half:], self.fp_rate)
-            c4_p = dropout2d(r2, c4[half:], self.fp_rate)
+            lo, hi = fp_slice if fp_slice is not None else (b // 2, b)
+            c1_p = dropout2d(r1, c1[lo:hi], self.fp_rate)
+            c4_p = dropout2d(r2, c4[lo:hi], self.fp_rate)
             outs = self._decode(jnp.concatenate([c1, c1_p]),
                                 jnp.concatenate([c4, c4_p]), train)
             outs = resize(outs.astype(jnp.float32), (h, w), mode='bilinear',

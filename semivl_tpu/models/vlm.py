@@ -78,17 +78,20 @@ class VLM(nn.Module):
         return out['feats'], out['global_emb'], conv_feats
 
     def __call__(self, img, text_feats, need_fp=False, only_fp=False,
-                 train=False):
+                 train=False, fp_slice=None):
         """Segmentation logits at input resolution (B, C, H, W).
 
         ``need_fp``: input batch is ``[x-half, w-half]``; returns
-        ``(preds, preds_fp_w)`` where ``preds`` covers the full batch and
-        ``preds_fp_w`` only the w-half under feature perturbation. The
-        reference perturbs the WHOLE batch and discards the x-half fp output
-        (builder.py:81-99 vs semivl.py:245-247) — computing only the
-        consumed half saves 1/4 of the decoder pass with identical math
-        (per-sample channel dropout; GroupNorm/LN are per-sample).
-        FP uses the 'fp' PRNG collection.
+        ``(preds, preds_fp)`` where ``preds`` covers the full batch and
+        ``preds_fp`` only the perturbed slice under feature perturbation.
+        The reference perturbs the WHOLE batch and discards the x-half fp
+        output (builder.py:81-99 vs semivl.py:245-247) — computing only the
+        consumed slice saves decoder work with identical math (per-sample
+        channel dropout; GroupNorm/LN are per-sample). ``fp_slice`` selects
+        which samples get the perturbed duplicate (default: second half) —
+        the fused train step passes the whole ``[x|w|s1|s2]`` batch in one
+        call with ``fp_slice`` marking the w block. FP uses the 'fp' PRNG
+        collection.
         """
         h, w = img.shape[1:3]
         feats, global_emb, conv_feats = self.extract_feat(img, train=train)
@@ -108,22 +111,22 @@ class VLM(nn.Module):
             rngs = jax.random.split(rng, len(feats) + (
                 len(conv_feats) if conv_feats else 0))
             b = img.shape[0]
-            half = b // 2
+            lo, hi = fp_slice if fp_slice is not None else (b // 2, b)
             perturbed_w = tuple(
-                dropout2d(rngs[i], f[half:], self.fp_rate)
+                dropout2d(rngs[i], f[lo:hi], self.fp_rate)
                 for i, f in enumerate(feats))
             feats = tuple(jnp.concatenate([f, p])
                           for f, p in zip(feats, perturbed_w))
             if conv_feats:
                 conv_feats = [
                     jnp.concatenate(
-                        [f, dropout2d(rngs[len(feats) + i], f[half:],
+                        [f, dropout2d(rngs[len(feats) + i], f[lo:hi],
                                       self.fp_rate)])
                     for i, f in enumerate(conv_feats)]
             if global_emb is not None:
                 # reference duplicates the global embedding for the fp half
                 # (builder.py:82)
-                global_emb = jnp.concatenate([global_emb, global_emb[half:]])
+                global_emb = jnp.concatenate([global_emb, global_emb[lo:hi]])
 
         logits = self.decode_head(feats, text_feats, conv_feats,
                                   output_size=(h, w), train=train,

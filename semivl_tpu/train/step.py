@@ -138,6 +138,16 @@ def _labeled_loss(cfg, logits, mask):
     raise NotImplementedError(f'criterion {crit!r}')
 
 
+def _pmean_trainable(grads, trainable_mask):
+    """All-reduce only trainable grads: frozen leaves are structural zeros
+    on every device (stop_gradient), so pmean-ing them is pure ICI/DCN
+    traffic — ~110M of the flagship's 150M params (SURVEY.md §2.6 notes the
+    backbone is mostly frozen)."""
+    return jax.tree.map(
+        lambda g, t: jax.lax.pmean(g, 'data') if t else g,
+        grads, trainable_mask)
+
+
 def _mc_loss(logits, mc_label, ignore_mask, reduce_mode):
     """MaskCLIP-consistency loss (reference semivl.py:52-58)."""
     if reduce_mode == 'mean':
@@ -262,6 +272,12 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
                                     mclip_other)
 
         has_bn = 'batch_stats' in state.params
+        # NOTE (measured, round 3): merging the two student applies into one
+        # b8 [x|w|s1|s2] pass is mathematically identical for BN-free
+        # models but measured SLOWER on v5e — the b8 encoder fwd+bwd alone
+        # ran 91.9 ms vs 82.4 for 2x b4 (XLA regresses at the larger
+        # batch), full step 25.3 vs 29.1 imgs/sec — so the reference's
+        # two-pass structure (semivl.py:243-249) is kept.
 
         def loss_fn(params):
             params = _freeze_stop_gradient(params, trainable_mask)
@@ -330,7 +346,7 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
 
         (_, (metrics, new_colls)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads['params'], 'data')
+        grads = _pmean_trainable(grads['params'], trainable_mask)
         metrics = jax.lax.pmean(metrics, 'data')
         if preempt_count is not None:
             metrics['preempt_count'] = preempt_count
@@ -384,7 +400,7 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
 
         (_, (metrics, new_colls)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads['params'], 'data')
+        grads = _pmean_trainable(grads['params'], trainable_mask)
         metrics = jax.lax.pmean(metrics, 'data')
         if preempt_count is not None:
             metrics['preempt_count'] = preempt_count
