@@ -12,12 +12,24 @@ import jax.numpy as jnp
 
 _DEFAULT_IMPL = 'auto'
 
-# 'auto' picks per sequence length at trace time. Measured on v5e (full
-# fused train step, round 2): at L=1025 (512^2 crops) XLA's fused attention
-# is ~2.4% faster end-to-end (26.79 vs 26.16 imgs/sec); at L=2602 (801^2
-# Cityscapes crops) the Pallas flash kernel wins (round-1: fwd 2.44 vs
-# 2.98 ms). The crossover is set between the two working points.
-_AUTO_PALLAS_MIN_LEN = 1536
+# 'auto' picks per shape at trace time. Round 3 measurements on v5e
+# (scan-chained on-chip timing, b4 L=1025 / b2 L=2602, d=64):
+#
+#   packed Pallas kernel   fwd 0.242 / fwd+bwd 0.891 ms   |  0.674 / 2.665
+#   XLA fused attention    fwd 0.258 / fwd+bwd 1.000 ms   |  1.346 / 5.630
+#
+# The packed kernel (heads as 128-lane pairs read straight from the
+# (B, L, C) layout + MXU/VPU-overlapped sub-chains, flash_attention.py)
+# beats XLA at every measured length — including the VLG semantic
+# transformer's L=21 class-axis attention, where XLA's 1500-way batch of
+# tiny 21x21 matmuls loses ~1.8 imgs/sec end-to-end (bench 'auto' with a
+# 512-token floor: 30.3; 'pallas': 32.1) — so on TPU 'auto' routes every
+# packed-eligible shape (head_dim 64, even heads) to the kernel; full
+# fused step 29.12 -> 32.12 imgs/sec/chip. Shapes that need the
+# transpose-wrapped kernel (other head dims) keep the round-2 crossover:
+# XLA below 1536 tokens (the transposes erase the kernel win there). On
+# CPU 'auto' always means XLA — interpret-mode Pallas is never fastest.
+_AUTO_PALLAS_MIN_LEN_UNPACKED = 1536
 
 
 def set_default_impl(impl):
@@ -66,7 +78,16 @@ def multi_head_attention(q, k, v, num_heads, impl=None):
     """
     impl = impl or _DEFAULT_IMPL
     if impl == 'auto':
-        impl = 'pallas' if q.shape[1] >= _AUTO_PALLAS_MIN_LEN else 'xla'
+        import jax
+        on_tpu = jax.devices()[0].platform == 'tpu'
+        packed_ok = (q.shape[-1] // num_heads == 64) and num_heads % 2 == 0
+        if not on_tpu:
+            impl = 'xla'
+        elif packed_ok:
+            impl = 'pallas'
+        else:
+            impl = ('pallas' if q.shape[1] >= _AUTO_PALLAS_MIN_LEN_UNPACKED
+                    else 'xla')
     if impl == 'pallas':
         from semivl_tpu.ops.flash_attention import flash_mha
         return flash_mha(q, k, v, num_heads)

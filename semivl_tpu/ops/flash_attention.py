@@ -253,6 +253,12 @@ def flash_mha(q, k, v, num_heads, interpret=None):
         interpret = jax.devices()[0].platform != 'tpu'
     b, l, c = q.shape
     d = c // num_heads
+    if d == 64 and num_heads % 2 == 0:
+        # Packed-layout kernels: heads are read as lane slices of the
+        # (B, L, C) arrays inside the kernel, so the (B,H,L,D)
+        # split/merge transposes (measured ~0.13 ms/call at the encoder
+        # shape — they erased the kernel's whole win) never materialise.
+        return _packed_attention(q, k, v, num_heads, interpret)
 
     def split(x):
         return (x.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
@@ -261,3 +267,218 @@ def flash_mha(q, k, v, num_heads, interpret=None):
     out = _fused_attention(split(q), split(k), split(v), interpret)
     return (out.reshape(b, num_heads, l, d).transpose(0, 2, 1, 3)
             .reshape(b, l, c))
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernels (no head transposes).
+#
+# Requires head_dim == 64 and an even head count: each program owns TWO
+# heads side by side in a 128-lane block (Pallas requires last-dim blocks
+# divisible by 128), giving 2 x nsplit independent sub-chains per program
+# for the MXU/VPU overlap. Measured on v5e at B4 H12 L1025 D64 from the
+# (B, L, C) interface: fwd 0.237 ms vs XLA's fused attention 0.258.
+# ---------------------------------------------------------------------------
+
+_PACKED_NS = 2  # sub-chains per head; x2 heads = 4 independent chains
+
+
+def _packed_plan(seq_len, backward):
+    """(l_pad, block_q) for the packed kernels. The live set per program is
+    ~2 heads x (block_q, l_pad) fp32 stage arrays (x2 stages in backward),
+    capped to fit scoped VMEM."""
+    l_pad = _round_up(seq_len, 128)
+    cap = 6 * 1024 * 1024
+    per_row = l_pad * 4 * (4 if backward else 2)  # 2 heads x stages
+    for bq in (576, 512, 384, 288, 256, 192, 128, 96, 64):
+        if l_pad % bq or bq % (8 * _PACKED_NS):
+            continue
+        if bq * per_row <= cap:
+            return l_pad, bq
+    return l_pad, 64
+
+
+def _packed_fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub):
+    seq = len_ref[0]
+    kv_k = k_ref[0]                                  # (L_pad, 128): 2 heads
+    kv_v = v_ref[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (sub, kv_k.shape[0]), 1)
+    chains = []
+    for hh in range(2):
+        lo, hi = 64 * hh, 64 * hh + 64
+        kk = kv_k[:, lo:hi]
+        for j in range(_PACKED_NS):
+            qj = (q_ref[0][j * sub:(j + 1) * sub, lo:hi]
+                  * jnp.asarray(scale, q_ref.dtype))
+            chains.append((hh, j, jax.lax.dot_general(
+                qj, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)))
+    probs = []
+    for hh, j, s in chains:
+        s = jnp.where(kidx < seq, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        probs.append((hh, j, (p / jnp.sum(p, axis=-1, keepdims=True)
+                              ).astype(kv_v.dtype)))
+    for hh, j, p in probs:
+        o = jnp.dot(p, kv_v[:, 64 * hh:64 * hh + 64],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, j * sub:(j + 1) * sub, 64 * hh:64 * hh + 64] = (
+            o.astype(o_ref.dtype))
+
+
+def _packed_bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, sub):
+    i = pl.program_id(2)
+    seq = len_ref[0]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    kv_k = k_ref[0]                                  # (L_pad, 128)
+    kv_v = v_ref[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (sub, kv_k.shape[0]), 1)
+    stage1 = []
+    for hh in range(2):
+        lo, hi = 64 * hh, 64 * hh + 64
+        kk = kv_k[:, lo:hi]
+        vv = kv_v[:, lo:hi]
+        for j in range(_PACKED_NS):
+            rows = slice(j * sub, (j + 1) * sub)
+            q = q_ref[0][rows, lo:hi]
+            g = g_ref[0][rows, lo:hi]
+            qs = q * jnp.asarray(scale, q.dtype)
+            s = jax.lax.dot_general(qs, kk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(g, vv, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            stage1.append((hh, j, q, g, s, dp))
+    stage2 = []
+    for hh, j, q, g, s, dp in stage1:
+        rows = slice(j * sub, (j + 1) * sub)
+        s = jnp.where(kidx < seq, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = o_ref[0][rows, 64 * hh:64 * hh + 64]
+        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        stage2.append((hh, j, q, g, p, ds))
+    accs = {}
+    for hh, j, q, g, p, ds in stage2:
+        lo, hi = 64 * hh, 64 * hh + 64
+        ds_c = ds.astype(kv_k.dtype)
+        dq = jnp.dot(ds_c, kv_k[:, lo:hi],
+                     preferred_element_type=jnp.float32) * scale
+        dq_ref[0, j * sub:(j + 1) * sub, lo:hi] = dq.astype(dq_ref.dtype)
+        dk_j = jax.lax.dot_general(
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv_j = jax.lax.dot_general(
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if hh in accs:
+            accs[hh] = (accs[hh][0] + dk_j, accs[hh][1] + dv_j)
+        else:
+            accs[hh] = (dk_j, dv_j)
+    dk_ref[0, :, 0:64] += accs[0][0]
+    dk_ref[0, :, 64:128] += accs[1][0]
+    dv_ref[0, :, 0:64] += accs[0][1]
+    dv_ref[0, :, 64:128] += accs[1][1]
+
+
+def _packed_pad(x, l_pad):
+    b, l, c = x.shape
+    if l_pad == l:
+        return x
+    return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _packed_attention(q, k, v, num_heads, interpret):
+    out, _ = _packed_attention_fwd(q, k, v, num_heads, interpret)
+    return out
+
+
+def _packed_attention_fwd_impl(q, k, v, num_heads, interpret):
+    b, l, c = q.shape
+    l_pad, bq = _packed_plan(l, backward=False)
+    qp = _packed_pad(q, l_pad)
+    kp = _packed_pad(k, l_pad)
+    vp = _packed_pad(v, l_pad)
+    lengths = jnp.full((1,), l, jnp.int32)
+    scale = (c // num_heads) ** -0.5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_heads // 2, l_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda b, h, i, *_: (b, i, h)),
+            pl.BlockSpec((1, l_pad, 128), lambda b, h, i, *_: (b, 0, h)),
+            pl.BlockSpec((1, l_pad, 128), lambda b, h, i, *_: (b, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda b, h, i, *_: (b, i, h)))
+    out_p = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale,
+                          sub=bq // _PACKED_NS),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, c), q.dtype),
+        interpret=interpret,
+    )(lengths, qp, kp, vp)
+    return out_p, (qp, kp, vp)
+
+
+def _packed_attention_fwd(q, k, v, num_heads, interpret):
+    out_p, (qp, kp, vp) = _packed_attention_fwd_impl(
+        q, k, v, num_heads, interpret)
+    l = q.shape[1]
+    return out_p[:, :l], (qp, kp, vp, out_p)
+
+
+def _packed_attention_bwd(num_heads, interpret, residuals, g):
+    qp, kp, vp, out_p = residuals
+    b, l_pad, c = qp.shape
+    l = g.shape[1]
+    if os.environ.get('SEMIVL_FLASH_BWD') == 'xla':
+        def ref(q, k, v):
+            qh = q.reshape(b, l_pad, num_heads, 64).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, l_pad, num_heads, 64).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, l_pad, num_heads, 64).transpose(0, 2, 1, 3)
+            o = _attend_heads(
+                qh.reshape(-1, l_pad, 64), kh.reshape(-1, l_pad, 64),
+                vh.reshape(-1, l_pad, 64))
+            return (o.reshape(b, num_heads, l_pad, 64)
+                    .transpose(0, 2, 1, 3).reshape(b, l_pad, c)[:, :l])
+        _, vjp = jax.vjp(ref, qp[:, :l], kp[:, :l], vp[:, :l])
+        return vjp(g)
+    bq_plan_l, bq = _packed_plan(l, backward=True)
+    assert bq_plan_l == l_pad, (bq_plan_l, l_pad)
+    gp = _packed_pad(g, l_pad)
+    lengths = jnp.full((1,), l, jnp.int32)
+    scale = (c // num_heads) ** -0.5
+    blocked = pl.BlockSpec((1, bq, 128), lambda b, h, i, *_: (b, i, h))
+    full = pl.BlockSpec((1, l_pad, 128), lambda b, h, i, *_: (b, 0, h))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_heads // 2, l_pad // bq),
+        in_specs=[blocked, full, full, blocked, blocked],
+        out_specs=[blocked, full, full])
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale,
+                          sub=bq // _PACKED_NS),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l_pad, c), qp.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_pad, c), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
+    )(lengths, qp, kp, vp, out_p, gp)
+    return (dq[:, :l], dk[:, :l].astype(qp.dtype),
+            dv[:, :l].astype(qp.dtype))
+
+
+_packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
