@@ -284,11 +284,24 @@ _PACKED_NS = 2  # sub-chains per head; x2 heads = 4 independent chains
 
 def _packed_plan(seq_len, backward):
     """(l_pad, block_q) for the packed kernels. The live set per program is
-    ~2 heads x (block_q, l_pad) fp32 stage arrays (x2 stages in backward),
-    capped to fit scoped VMEM."""
+    ~2 heads x (block_q, l_pad) fp32 stage arrays (x2 stages in backward)
+    plus the full-length k/v/dk/dv buffers, capped to fit scoped VMEM.
+
+    Backward blocks are probed on-chip, not just estimated: at
+    l_pad=1152, bq=576 compiles and runs (fwd+bwd 0.753 vs 0.882 ms at
+    bq=288) even though the naive stage estimate (10.6 MB) looks tight —
+    Mosaic reuses dead stage buffers; at l_pad=2688 even bq=192
+    (8.25 MB stages) fails to compile because the full-length buffers
+    add ~4.8 MB — so long sequences keep bq=128."""
     l_pad = _round_up(seq_len, 128)
-    cap = 6 * 1024 * 1024
-    per_row = l_pad * 4 * (4 if backward else 2)  # 2 heads x stages
+    if backward:
+        if l_pad <= 1152 and l_pad % 576 == 0:
+            return l_pad, 576
+        cap = 6 * 1024 * 1024
+        per_row = l_pad * 16
+    else:
+        cap = 6 * 1024 * 1024
+        per_row = l_pad * 8
     for bq in (576, 512, 384, 288, 256, 192, 128, 96, 64):
         if l_pad % bq or bq % (8 * _PACKED_NS):
             continue
