@@ -80,6 +80,23 @@ def test_packed_flash_gradients_match(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_packed_block_plan():
+    """Block plans encode the on-chip probed limits: 576-row backward
+    blocks at the encoder length, conservative 128 at Cityscapes length
+    (bq=192 failed Mosaic compile there — full-length buffers add ~5 MB)."""
+    from semivl_tpu.ops.flash_attention import _packed_plan
+    assert _packed_plan(1025, backward=False) == (1152, 576)
+    assert _packed_plan(1025, backward=True) == (1152, 576)
+    l_pad, bq = _packed_plan(2602, backward=False)
+    assert l_pad == 2688 and bq == 192
+    l_pad, bq = _packed_plan(2602, backward=True)
+    assert l_pad == 2688 and bq == 128
+    for seq in (21, 100, 1025, 2602):
+        for backward in (False, True):
+            l_pad, bq = _packed_plan(seq, backward)
+            assert l_pad % bq == 0 and (bq // 2) % 8 == 0
+
+
 def test_dispatch_switch(rng):
     from semivl_tpu.ops import attention as attn_mod
     q = jnp.asarray(rng.randn(1, 16, 16), jnp.float32)
