@@ -449,13 +449,18 @@ def _w_at(w_ref, cout):
 
 def _stage_fwd_kernel(x_ref, skip_ref, w1_ref, g1s_ref, g1b_ref, w2_ref,
                       g2s_ref, g2b_ref, gmat_ref, *rest,
-                      cin, cs, cout, geo, fuse_head, cdt, t1, t2):
+                      cin, cs, cout, geo, fuse_head, cdt, t1, t2,
+                      save_stats=False):
     if fuse_head:
         wh_ref, hb_ref, o_ref = rest[:3]
         scr = rest[3:]
     else:
         o_ref = rest[0]
         scr = rest[1:]
+    stat_refs = None
+    if save_stats:
+        stat_refs = scr[:4]          # m1, r1, m2, r2 outputs (cout, 1)
+        scr = scr[4:]
     x_keys, in_keys, full_keys = _keys_in(geo)
     xs = SlotBufs(scr, x_keys)
     ss = SlotBufs(scr[xs.used:], in_keys)
@@ -468,16 +473,23 @@ def _stage_fwd_kernel(x_ref, skip_ref, w1_ref, g1s_ref, g1b_ref, w2_ref,
     tiles2 = geo.tiles(9 * cout)
     for q in range(4):
         _zero_pads(c1, q, geo, cdt)
-    _fwd_conv_gn(t1, read1, _w_at(w1_ref, cout), c1, gmat, g1s_ref[:],
-                 g1b_ref[:], geo, cdt, tiles1)
+    mean1, rstd1 = _fwd_conv_gn(t1, read1, _w_at(w1_ref, cout), c1, gmat,
+                                g1s_ref[:], g1b_ref[:], geo, cdt, tiles1)
+    if save_stats:
+        stat_refs[0][0] = mean1
+        stat_refs[1][0] = rstd1
 
     read2 = _phase_reader(c1, geo)
     if fuse_head:
         c2 = SlotBufs(scr[xs.used + ss.used + c1.used:], full_keys)
         for q in range(4):
             _zero_pads(c2, q, geo, cdt)
-        _fwd_conv_gn(t2, read2, _w_at(w2_ref, cout), c2, gmat, g2s_ref[:],
-                     g2b_ref[:], geo, cdt, tiles2)
+        mean2, rstd2 = _fwd_conv_gn(t2, read2, _w_at(w2_ref, cout), c2,
+                                    gmat, g2s_ref[:], g2b_ref[:], geo,
+                                    cdt, tiles2)
+        if save_stats:
+            stat_refs[2][0] = mean2
+            stat_refs[3][0] = rstd2
         hb = hb_ref[0, 0]
         read3 = _phase_reader(c2, geo)
         for v in range(4):
@@ -494,6 +506,9 @@ def _stage_fwd_kernel(x_ref, skip_ref, w1_ref, g1s_ref, g1b_ref, w2_ref,
         ssum, ssq = _conv_pass(t2, read2, _w_at(w2_ref, cout), geo, cdt,
                                store, tiles2)
         mean, rstd = _gn_stats(ssum, ssq, gmat)
+        if save_stats:
+            stat_refs[2][0] = mean
+            stat_refs[3][0] = rstd
         for v in range(4):
             for f0, F in tiles2:
                 raw = o_ref[0, v * cout:(v + 1) * cout,
@@ -853,8 +868,15 @@ def _common_specs(x_pad, skip_pad, geo, n_rep, packed_ops):
 
 
 def _stage_fwd_core(x, skip_ph, w1, g1s, g1b, w2, g2s, g2b, wh=None,
-                    hb=None, interpret=None, storage=None):
-    """Forward with pre-packed weights (the custom_vjp primal)."""
+                    hb=None, interpret=None, storage=None,
+                    save_stats=False):
+    """Forward with pre-packed weights (the custom_vjp primal).
+
+    ``save_stats=True`` additionally returns the per-plane GroupNorm
+    statistics ``(mean1, rstd1, mean2, rstd2)``, each (P, Cout, 1)
+    float32 — the residuals of the banded backward
+    (ops/fused_decoder_banded.py), which consumes forward stats instead
+    of recomputing them whole-plane."""
     cdt = storage or _CDT
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
@@ -891,20 +913,32 @@ def _stage_fwd_core(x, skip_ph, w1, g1s, g1b, w2, g2s, g2b, wh=None,
 
     kernel = functools.partial(
         _stage_fwd_kernel, cin=cin, cs=cs, cout=cout, geo=geo,
-        fuse_head=fuse_head, cdt=cdt, t1=t1, t2=t2)
-    out = pl.pallas_call(
+        fuse_head=fuse_head, cdt=cdt, t1=t1, t2=t2, save_stats=save_stats)
+    out_specs = [pl.BlockSpec((1, 4 * out_c, geo.hwp),
+                              lambda pi: (pi, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((p, 4 * out_c, geo.hwp), cdt)]
+    if save_stats:
+        for _ in range(4):
+            out_specs.append(pl.BlockSpec((1, cout, 1),
+                                          lambda pi: (pi, 0, 0)))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((p, cout, 1), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(p,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 4 * out_c, geo.hwp),
-                               lambda pi: (pi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, 4 * out_c, geo.hwp), cdt),
+        out_specs=tuple(out_specs) if save_stats else out_specs[0],
+        out_shape=tuple(out_shapes) if save_stats else out_shapes[0],
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
     )(x_pad, skip_pad, *packed)
-    return _unpad(out.reshape(p, 4, out_c, geo.hwp), geo)
+    if save_stats:
+        out, m1, r1, m2, r2 = outs
+        return (_unpad(out.reshape(p, 4, out_c, geo.hwp), geo),
+                (m1, r1, m2, r2))
+    return _unpad(outs.reshape(p, 4, out_c, geo.hwp), geo)
 
 
 def _stage_bwd(x, skip_ph, g_out, w1, g1s, g1b, w2, g2s, g2b, wh=None,
