@@ -207,15 +207,21 @@ def _iota(geo, f0, F, rows=1):
     return f0 + jax.lax.broadcasted_iota(jnp.int32, (rows, F), 1)
 
 
-def _ones_part(t, geo, dtype, f0, F):
+def _ones_part(t, geo, dtype, f0, F, row0=0, h_tot=None):
+    """Composite ones-channel tile. ``row0``/``h_tot`` shift the row
+    bounds to PLANE coordinates when the buffer is a band of a larger
+    plane (row0 may be traced); defaults reproduce whole-plane
+    behavior."""
+    if h_tot is None:
+        h_tot = geo.h
     f = _iota(geo, f0, F)
-    row, col = f // geo.ws, f % geo.ws
-    cond = ((row + t.sy >= 0) & (row + t.sy < geo.h)
+    row, col = f // geo.ws + row0, f % geo.ws
+    cond = ((row + t.sy >= 0) & (row + t.sy < h_tot)
             & (col + t.sx >= 0) & (col + t.sx < geo.w))
     return cond.astype(dtype)
 
 
-def _phase_cat(sorted_taps, read, geo, dtype, f0, F):
+def _phase_cat(sorted_taps, read, geo, dtype, f0, F, row0=0, h_tot=None):
     """The (K, F) tap concat for one output phase and tile.
 
     ``read(tap, f0, F) -> (C, F)``: aligned row-shifted tile of the
@@ -238,12 +244,14 @@ def _phase_cat(sorted_taps, read, geo, dtype, f0, F):
             else:
                 block = cat
             groups.append(block)
-        groups.extend(_ones_part(t, geo, dtype, f0, F) for t in ones)
+        groups.extend(_ones_part(t, geo, dtype, f0, F, row0, h_tot)
+                      for t in ones)
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, 0)
 
 
-def _phase_conv(sorted_taps, read, geo, w_packed, dtype, f0, F):
-    cat = _phase_cat(sorted_taps, read, geo, dtype, f0, F)
+def _phase_conv(sorted_taps, read, geo, w_packed, dtype, f0, F, row0=0,
+                h_tot=None):
+    cat = _phase_cat(sorted_taps, read, geo, dtype, f0, F, row0, h_tot)
     return jax.lax.dot_general(
         w_packed, cat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -1127,35 +1135,74 @@ def _deinterleave(x):
         p, 4, c, hh // 2, ww // 2)
 
 
+def _stage_banded(cin, cs, cout, h, w, fuse_head):
+    """Whether a stage's backward must take the row-banded path
+    (ops/fused_decoder_banded.py) because the whole-plane backward
+    kernel exceeds the scoped-VMEM limit."""
+    return stage_vmem_bytes(cin, cs, cout, h, w, fuse_head,
+                            backward=True) > FUSED_VMEM_LIMIT
+
+
+def _chain_banded(interpret, storage, x, s1_ph, s2_ph, pw1, pw2):
+    cout1 = pw1['w2'].shape[1]
+    cout2 = pw2['w2'].shape[1]
+    h, w = x.shape[2], x.shape[3]
+    b1 = _stage_banded(x.shape[1], s1_ph.shape[2], cout1, h, w, False)
+    b2 = _stage_banded(cout1, s2_ph.shape[2], cout2, 2 * h, 2 * w, True)
+    return b1, b2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _chain_core(interpret, storage, x, s1_ph, s2_ph, pw1, pw2):
     return _chain_fwd(interpret, storage, x, s1_ph, s2_ph, pw1, pw2)[0]
 
 
 def _chain_fwd(interpret, storage, x, s1_ph, s2_ph, pw1, pw2):
-    c2_ph = _stage_fwd_core(
+    """Chain forward. Stages whose backward is row-banded save their
+    GroupNorm statistics as residuals (the banded backward cannot
+    recompute plane-wide statistics from a band)."""
+    banded1, banded2 = _chain_banded(interpret, storage, x, s1_ph, s2_ph,
+                                     pw1, pw2)
+    out1 = _stage_fwd_core(
         x, s1_ph, pw1['w1'], pw1['g1s'], pw1['g1b'], pw1['w2'],
-        pw1['g2s'], pw1['g2b'], interpret=interpret, storage=storage)
+        pw1['g2s'], pw1['g2b'], interpret=interpret, storage=storage,
+        save_stats=banded1)
+    c2_ph, st1 = out1 if banded1 else (out1, None)
     x2 = _interleave(c2_ph)
-    ho = _stage_fwd_core(
+    out2 = _stage_fwd_core(
         x2, s2_ph, pw2['w1'], pw2['g1s'], pw2['g1b'], pw2['w2'],
         pw2['g2s'], pw2['g2b'], pw2['wh'], pw2['hb'], interpret=interpret,
-        storage=storage)
-    return ho, (x, s1_ph, s2_ph, x2, pw1, pw2)
+        storage=storage, save_stats=banded2)
+    ho, st2 = out2 if banded2 else (out2, None)
+    return ho, (x, s1_ph, s2_ph, x2, pw1, pw2, st1, st2)
 
 
 def _chain_bwd(interpret, storage, res, g_ho):
-    x, s1_ph, s2_ph, x2, pw1, pw2 = res
-    outs2 = _stage_bwd(
-        x2, s2_ph, g_ho, pw2['w1'], pw2['g1s'], pw2['g1b'], pw2['w2'],
-        pw2['g2s'], pw2['g2b'], pw2['wh'], pw2['hb'], interpret=interpret,
-        storage=storage)
+    from semivl_tpu.ops.fused_decoder_banded import _stage_bwd_banded
+    x, s1_ph, s2_ph, x2, pw1, pw2, st1, st2 = res
+    if st2 is not None:
+        outs2 = _stage_bwd_banded(
+            x2, s2_ph, g_ho, st2, pw2['w1'], pw2['g1s'], pw2['g1b'],
+            pw2['w2'], pw2['g2s'], pw2['g2b'], pw2['wh'], pw2['hb'],
+            interpret=interpret, storage=storage)
+    else:
+        outs2 = _stage_bwd(
+            x2, s2_ph, g_ho, pw2['w1'], pw2['g1s'], pw2['g1b'], pw2['w2'],
+            pw2['g2s'], pw2['g2b'], pw2['wh'], pw2['hb'],
+            interpret=interpret, storage=storage)
     (gx2, gs2, gw1_2, gg1s_2, gg1b_2, gw2_2, gg2s_2, gg2b_2,
      gwh, ghb) = outs2
     g_c2_ph = _deinterleave(gx2)
-    outs1 = _stage_bwd(
-        x, s1_ph, g_c2_ph, pw1['w1'], pw1['g1s'], pw1['g1b'], pw1['w2'],
-        pw1['g2s'], pw1['g2b'], interpret=interpret, storage=storage)
+    if st1 is not None:
+        outs1 = _stage_bwd_banded(
+            x, s1_ph, g_c2_ph, st1, pw1['w1'], pw1['g1s'], pw1['g1b'],
+            pw1['w2'], pw1['g2s'], pw1['g2b'], interpret=interpret,
+            storage=storage)
+    else:
+        outs1 = _stage_bwd(
+            x, s1_ph, g_c2_ph, pw1['w1'], pw1['g1s'], pw1['g1b'],
+            pw1['w2'], pw1['g2s'], pw1['g2b'], interpret=interpret,
+            storage=storage)
     gx1, gs1, gw1_1, gg1s_1, gg1b_1, gw2_1, gg2s_1, gg2b_1 = outs1
     gpw1 = dict(w1=gw1_1, g1s=gg1s_1, g1b=gg1b_1, w2=gw2_1,
                 g2s=gg2s_1, g2b=gg2b_1)
@@ -1199,12 +1246,23 @@ def fused_decoder_ok(cin, cs1, cout1, cs2, cout2, h, w, backward=True):
     """VMEM gate for the fused chain at a given geometry.
 
     ``backward=False`` gates forward-only use (teacher pass, eval) where
-    only the forward kernels' footprint matters — e.g. 801-crop
-    Cityscapes fits forward but not backward."""
+    only the forward kernels' footprint matters. With ``backward=True``
+    a stage whose whole-plane backward kernel does not fit is accepted
+    when the row-banded backward (ops/fused_decoder_banded.py) fits at
+    some band size — e.g. 801-crop Cityscapes (the forward always runs
+    whole-plane, so it must fit the forward limit either way)."""
     if w > 64:      # base widths w and 2w must fit a 128-lane row stride
         return False
-    a = stage_vmem_bytes(cin, cs1, cout1, h, w, False, backward=backward)
-    b = stage_vmem_bytes(cout1, cs2, cout2, 2 * h, 2 * w, True,
-                         backward=backward)
-    limit = FUSED_VMEM_LIMIT if backward else FUSED_VMEM_LIMIT_FWD
-    return max(a, b) <= limit
+    stages = [(cin, cs1, cout1, h, w, False),
+              (cout1, cs2, cout2, 2 * h, 2 * w, True)]
+    if not backward:
+        return all(stage_vmem_bytes(*s, backward=False)
+                   <= FUSED_VMEM_LIMIT_FWD for s in stages)
+    from semivl_tpu.ops.fused_decoder_banded import choose_band_rows
+    for s in stages:
+        if stage_vmem_bytes(*s, backward=False) > FUSED_VMEM_LIMIT_FWD:
+            return False
+        if (stage_vmem_bytes(*s, backward=True) > FUSED_VMEM_LIMIT
+                and choose_band_rows(*s) is None):
+            return False
+    return True

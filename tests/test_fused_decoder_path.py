@@ -133,9 +133,11 @@ def test_fused_decoder_vmem_gate_decision():
     assert head(jnp.bfloat16).fused_decoder_ok(32, 32)
     assert head(jnp.float32).fused_decoder_ok(32, 32)
     # 801-crop Cityscapes: the forward chain fits (compiled+ran on-chip,
-    # teacher/eval path), the backward kernels do not
+    # teacher/eval path); the whole-plane backward kernels do not, but
+    # the row-banded backward (ops/fused_decoder_banded.py) does, so
+    # training now also qualifies
     assert fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=False)
-    assert not fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=True)
+    assert fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=True)
     # row-stride bound: base w > 64 cannot host 2w in 128 lanes
     assert not fused_decoder_ok(128, 32, 64, 16, 32, 100, 100,
                                 backward=False)
