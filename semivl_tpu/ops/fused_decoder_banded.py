@@ -639,11 +639,11 @@ def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
     t1dgs = invert_taps(t1, 'skip', 4, cout)
     w1dgx = flat_w(pack_dgrad(w1, t1, t1dgx, cdt))
     w1dgs = flat_w(pack_dgrad(w1, t1, t1dgs, cdt))
-    planC = make_band_plan(h, w, 1, band_rows)
+    planC = planB          # same depth-1 halo -> identical band layout
     geoC = planC.geo
     xc = band_input(x, planC, cdt)
     skc = band_input(skip_ph.reshape(b, 4 * cs, h, w), planC, cdt)
-    raw1_c = band_input_flat(raw1_fl, planC, cdt)
+    raw1_c = raw1_b        # reuse pass B's halo copy (same plan)
     gy1_c = band_input_flat(band_join(gy1_sp, planB), planC, cdt)
     band, skip_band, plane_vec, const, out_band, out_vec = _specs(
         planC, n_rep)
