@@ -6,6 +6,7 @@ in, ``ModelBundle`` out (Flax module + device-constant text embeddings).
 """
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -39,6 +40,11 @@ def build_backbone(cfg, dtype):
             clip_dim=cfg.get('clip_dim', 512),
             norm_eps=cfg.get('norm_eps', 1e-6),
             remat=cfg.get('with_cp', False),
+            # GEMM-tiling token pad (clip_vit docstring); env override for
+            # bench/A-B measurement without config edits.
+            token_pad_to_multiple=int(
+                os.environ.get('SEMIVL_TOKEN_PAD_MULTIPLE',
+                               cfg.get('token_pad_to_multiple', 1))),
             dtype=dtype)
     if kind == 'ResNetV1c':
         from semivl_tpu.models.resnet import ResNetV1c

@@ -56,6 +56,14 @@ class MaskClipViT(nn.Module):
     # trades recompute for activation memory (SURVEY.md §7 hard parts —
     # the 4-forwards-per-step live set)
     remat: bool = False
+    # Pad the token count up to a multiple of this (1 = off) with zero
+    # tokens AFTER the positional embedding: the encoder's dense GEMMs run
+    # at M = B*L, and the flagship L=1025 gives M=4100 — measured ~15%
+    # below the M=4096 MXU rate on v5e (tools/encoder_microbench.py). Pad
+    # keys are masked inside attention (ops/attention.py valid_len), and
+    # the grid/cls outputs slice pads off, so real-token numerics are
+    # exactly those of the unpadded model. No parameters change shape.
+    token_pad_to_multiple: int = 1
     dtype: Any = jnp.float32
 
     def _out_indices(self):
@@ -103,6 +111,13 @@ class MaskClipViT(nn.Module):
                 pos_embed, (gh, gw), (pos_h, pos_w), mode='bicubic')
         x = x + pos_embed.astype(self.dtype)
 
+        valid_len = None
+        if self.token_pad_to_multiple > 1:
+            n_pad = (-x.shape[1]) % self.token_pad_to_multiple
+            if n_pad:
+                valid_len = x.shape[1]
+                x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+
         if self.pre_norm:
             x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln0')(x)
 
@@ -114,9 +129,10 @@ class MaskClipViT(nn.Module):
                 if self.return_clip_embed else None)
 
         def to_grid(tokens):
-            return tokens[:, 1:].reshape(b, gh, gw, tokens.shape[-1])
+            return tokens[:, 1:1 + gh * gw].reshape(
+                b, gh, gw, tokens.shape[-1])
 
-        block_cls = (nn.remat(TransformerBlock, static_argnums=(2,))
+        block_cls = (nn.remat(TransformerBlock, static_argnums=(2, 3))
                      if self.remat else TransformerBlock)
         feats = []
         clip_embed = None
@@ -129,7 +145,7 @@ class MaskClipViT(nn.Module):
             x, v = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 norm_eps=self.norm_eps, dtype=self.dtype,
-                name=f'layers_{i}')(x, need_v)
+                name=f'layers_{i}')(x, need_v, valid_len)
             if last and self.skip_last_attn and v is not None:
                 x = v
             if last and self.final_norm:

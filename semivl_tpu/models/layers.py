@@ -77,7 +77,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, return_qkv=False):
+    def __call__(self, x, return_qkv=False, valid_len=None):
         c = x.shape[-1]
         in_proj = nn.Dense(3 * c, use_bias=self.qkv_bias, name='in_proj',
                            dtype=self.dtype, param_dtype=jnp.float32)
@@ -97,7 +97,8 @@ class Attention(nn.Module):
                     k = k + delta
                 elif t == 'v':
                     v = v + delta
-        attn_out = multi_head_attention(q, k, v, self.num_heads)
+        attn_out = multi_head_attention(q, k, v, self.num_heads,
+                                        valid_len=valid_len)
         out = out_proj(attn_out)
         if self.lora_rank > 0 and 'o' in self.lora_targets:
             out = out + LoRAAdapter(self.rank_or(), self.lora_scaling,
@@ -157,7 +158,7 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, return_v=False):
+    def __call__(self, x, return_v=False, valid_len=None):
         c = x.shape[-1]
         ln1 = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln1')
         ln2 = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln2')
@@ -168,11 +169,12 @@ class TransformerBlock(nn.Module):
 
         y = ln1(x)
         if return_v:
-            attn_out, (q, k, v), out_proj = attn(y, return_qkv=True)
+            attn_out, (q, k, v), out_proj = attn(y, return_qkv=True,
+                                                 valid_len=valid_len)
             v_feat = out_proj(v) + x
             v_feat = v_feat + ffn(ln2(v_feat))
         else:
-            attn_out = attn(y)
+            attn_out = attn(y, valid_len=valid_len)
             v_feat = None
         x = x + attn_out
         x = x + ffn(ln2(x))

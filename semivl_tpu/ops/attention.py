@@ -54,13 +54,21 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
-def _mha_xla(q, k, v, num_heads):
+def _mha_xla(q, k, v, num_heads, valid_len=None):
     d_head = q.shape[-1] // num_heads
     scale = 1.0 / (d_head ** 0.5)
     qh = _split_heads(q, num_heads) * jnp.asarray(scale, q.dtype)
     kh = _split_heads(k, num_heads)
     vh = _split_heads(v, num_heads)
     logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh)
+    if valid_len is not None and valid_len < k.shape[1]:
+        # token-padded input (clip_vit token_pad_to_multiple): mask pad
+        # keys with the kernels' -1e30 semantics; exp underflows to exactly
+        # 0, so valid rows match the unpadded computation.
+        import jax
+        kidx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+        logits = jnp.where(kidx < valid_len,
+                           logits.astype(jnp.float32), -1e30)
     probs = jnp.exp(
         logits.astype(jnp.float32)
         - jnp.max(logits, axis=-1, keepdims=True).astype(jnp.float32))
@@ -69,12 +77,16 @@ def _mha_xla(q, k, v, num_heads):
     return _merge_heads(out)
 
 
-def multi_head_attention(q, k, v, num_heads, impl=None):
+def multi_head_attention(q, k, v, num_heads, impl=None, valid_len=None):
     """Self/cross attention over (B, L, C) tensors.
 
     Math parity with ``torch.nn.MultiheadAttention``: scale q by
     1/sqrt(head_dim), softmax in float32, no masking (the ViT uses full
-    bidirectional attention).
+    bidirectional attention). ``valid_len``: number of real tokens when the
+    arrays carry trailing pad tokens (only the encoder's
+    token_pad_to_multiple path sets this) — pad KEYS are masked out so
+    valid rows keep exact unpadded numerics; pad q rows are garbage the
+    caller drops.
     """
     impl = impl or _DEFAULT_IMPL
     if impl == 'auto':
@@ -90,5 +102,5 @@ def multi_head_attention(q, k, v, num_heads, impl=None):
                     else 'xla')
     if impl == 'pallas':
         from semivl_tpu.ops.flash_attention import flash_mha
-        return flash_mha(q, k, v, num_heads)
-    return _mha_xla(q, k, v, num_heads)
+        return flash_mha(q, k, v, num_heads, valid_len=valid_len)
+    return _mha_xla(q, k, v, num_heads, valid_len=valid_len)

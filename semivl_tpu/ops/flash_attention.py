@@ -85,20 +85,28 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub, nsplit):
         o_ref[0, j * sub:(j + 1) * sub, :] = o.astype(o_ref.dtype)
 
 
-def _attend_heads(qh, kh, vh):
-    """XLA reference attention on (BH, L, D) arrays (used for the VJP)."""
+def _attend_heads(qh, kh, vh, valid_len=None):
+    """XLA reference attention on (BH, L, D) arrays (used for the VJP).
+
+    ``valid_len``: mask keys at positions >= valid_len (same -1e30
+    semantics as the kernels) so token-padded inputs (clip_vit
+    ``token_pad_to_multiple``) keep exact numerics on the valid rows."""
     d = qh.shape[-1]
     s = jnp.einsum('bqd,bkd->bqk', qh * (d ** -0.5), kh)
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(vh.dtype)
+    s = s.astype(jnp.float32)
+    if valid_len is not None and valid_len < qh.shape[1]:
+        kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(kidx < valid_len, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
     return jnp.einsum('bqk,bkd->bqd', p, vh)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_attention(qh, kh, vh, interpret):
-    return _fused_attention_fwd_impl(qh, kh, vh, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_attention(qh, kh, vh, interpret, valid_len):
+    return _fused_attention_fwd_impl(qh, kh, vh, interpret, valid_len)
 
 
-def _fused_attention_fwd_impl(qh, kh, vh, interpret):
+def _fused_attention_fwd_impl(qh, kh, vh, interpret, valid_len):
     bh, seq_len, d = qh.shape
     l_pad, bq, nsplit = _block_plan(seq_len, backward=False)
     if l_pad != seq_len:
@@ -107,7 +115,7 @@ def _fused_attention_fwd_impl(qh, kh, vh, interpret):
         kh = jnp.pad(kh, pad)
         vh = jnp.pad(vh, pad)
     scale = d ** -0.5
-    lengths = jnp.full((1,), seq_len, jnp.int32)
+    lengths = jnp.full((1,), valid_len, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -197,7 +205,7 @@ def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
     dv_ref[0] += dv_acc
 
 
-def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret):
+def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret, valid_len):
     bh, seq_len, d = qh.shape
     l_pad, bq, nsplit = _block_plan(seq_len, backward=True)
     if l_pad != seq_len:
@@ -205,7 +213,7 @@ def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret):
         qh, kh, vh = (jnp.pad(x, pad) for x in (qh, kh, vh))
         out, g = (jnp.pad(x, pad) for x in (out, g))
     scale = d ** -0.5
-    lengths = jnp.full((1,), seq_len, jnp.int32)
+    lengths = jnp.full((1,), valid_len, jnp.int32)
     blocked = pl.BlockSpec((1, bq, d), lambda b, i, *_: (b, i, 0))
     full = pl.BlockSpec((1, l_pad, d), lambda b, i, *_: (b, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -231,40 +239,49 @@ def _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret):
             dv[:, :seq_len].astype(qh.dtype))
 
 
-def _fused_attention_fwd(qh, kh, vh, interpret):
-    out = _fused_attention_fwd_impl(qh, kh, vh, interpret)
+def _fused_attention_fwd(qh, kh, vh, interpret, valid_len):
+    out = _fused_attention_fwd_impl(qh, kh, vh, interpret, valid_len)
     return out, (qh, kh, vh, out)
 
 
-def _fused_attention_bwd(interpret, residuals, g):
+def _fused_attention_bwd(interpret, valid_len, residuals, g):
     qh, kh, vh, out = residuals
     if os.environ.get('SEMIVL_FLASH_BWD') == 'xla':
-        _, vjp = jax.vjp(_attend_heads, qh, kh, vh)
+        _, vjp = jax.vjp(lambda a, b2, c2: _attend_heads(a, b2, c2, valid_len),
+                         qh, kh, vh)
         return vjp(g)
-    return _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret)
+    return _fused_attention_bwd_impl(qh, kh, vh, out, g, interpret, valid_len)
 
 
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-def flash_mha(q, k, v, num_heads, interpret=None):
-    """(B, L, C) packed multi-head attention via the fused kernel."""
+def flash_mha(q, k, v, num_heads, interpret=None, valid_len=None):
+    """(B, L, C) packed multi-head attention via the fused kernel.
+
+    ``valid_len``: number of real tokens when the arrays carry trailing pad
+    tokens (clip_vit ``token_pad_to_multiple``); keys at positions >=
+    valid_len are masked out, so valid rows match the unpadded computation
+    exactly (pad q rows produce finite garbage, dropped by the caller)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     b, l, c = q.shape
     d = c // num_heads
+    if valid_len is None:
+        valid_len = l
     if d == 64 and num_heads % 2 == 0:
         # Packed-layout kernels: heads are read as lane slices of the
         # (B, L, C) arrays inside the kernel, so the (B,H,L,D)
         # split/merge transposes (measured ~0.13 ms/call at the encoder
         # shape — they erased the kernel's whole win) never materialise.
-        return _packed_attention(q, k, v, num_heads, interpret)
+        return _packed_attention(q, k, v, num_heads, interpret, valid_len)
 
     def split(x):
         return (x.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
                 .reshape(b * num_heads, l, d))
 
-    out = _fused_attention(split(q), split(k), split(v), interpret)
+    out = _fused_attention(split(q), split(k), split(v), interpret,
+                           valid_len)
     return (out.reshape(b, num_heads, l, d).transpose(0, 2, 1, 3)
             .reshape(b, l, c))
 
@@ -409,19 +426,19 @@ def _packed_pad(x, l_pad):
     return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _packed_attention(q, k, v, num_heads, interpret):
-    out, _ = _packed_attention_fwd(q, k, v, num_heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_attention(q, k, v, num_heads, interpret, valid_len):
+    out, _ = _packed_attention_fwd(q, k, v, num_heads, interpret, valid_len)
     return out
 
 
-def _packed_attention_fwd_impl(q, k, v, num_heads, interpret):
+def _packed_attention_fwd_impl(q, k, v, num_heads, interpret, valid_len):
     b, l, c = q.shape
     l_pad, bq = _packed_plan(l, backward=False)
     qp = _packed_pad(q, l_pad)
     kp = _packed_pad(k, l_pad)
     vp = _packed_pad(v, l_pad)
-    lengths = jnp.full((1,), l, jnp.int32)
+    lengths = jnp.full((1,), valid_len, jnp.int32)
     scale = (c // num_heads) ** -0.5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -442,33 +459,33 @@ def _packed_attention_fwd_impl(q, k, v, num_heads, interpret):
     return out_p, (qp, kp, vp)
 
 
-def _packed_attention_fwd(q, k, v, num_heads, interpret):
+def _packed_attention_fwd(q, k, v, num_heads, interpret, valid_len):
     out_p, (qp, kp, vp) = _packed_attention_fwd_impl(
-        q, k, v, num_heads, interpret)
+        q, k, v, num_heads, interpret, valid_len)
     l = q.shape[1]
     return out_p[:, :l], (qp, kp, vp, out_p)
 
 
-def _packed_attention_bwd(num_heads, interpret, residuals, g):
+def _packed_attention_bwd(num_heads, interpret, valid_len, residuals, g):
     qp, kp, vp, out_p = residuals
     b, l_pad, c = qp.shape
     l = g.shape[1]
     if os.environ.get('SEMIVL_FLASH_BWD') == 'xla':
         def ref(q, k, v):
-            qh = q.reshape(b, l_pad, num_heads, 64).transpose(0, 2, 1, 3)
-            kh = k.reshape(b, l_pad, num_heads, 64).transpose(0, 2, 1, 3)
-            vh = v.reshape(b, l_pad, num_heads, 64).transpose(0, 2, 1, 3)
+            qh = q.reshape(b, l, num_heads, 64).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, l, num_heads, 64).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, l, num_heads, 64).transpose(0, 2, 1, 3)
             o = _attend_heads(
-                qh.reshape(-1, l_pad, 64), kh.reshape(-1, l_pad, 64),
-                vh.reshape(-1, l_pad, 64))
-            return (o.reshape(b, num_heads, l_pad, 64)
-                    .transpose(0, 2, 1, 3).reshape(b, l_pad, c)[:, :l])
+                qh.reshape(-1, l, 64), kh.reshape(-1, l, 64),
+                vh.reshape(-1, l, 64), valid_len)
+            return (o.reshape(b, num_heads, l, 64)
+                    .transpose(0, 2, 1, 3).reshape(b, l, c))
         _, vjp = jax.vjp(ref, qp[:, :l], kp[:, :l], vp[:, :l])
         return vjp(g)
     bq_plan_l, bq = _packed_plan(l, backward=True)
     assert bq_plan_l == l_pad, (bq_plan_l, l_pad)
     gp = _packed_pad(g, l_pad)
-    lengths = jnp.full((1,), l, jnp.int32)
+    lengths = jnp.full((1,), valid_len, jnp.int32)
     scale = (c // num_heads) ** -0.5
     blocked = pl.BlockSpec((1, bq, 128), lambda b, h, i, *_: (b, i, h))
     full = pl.BlockSpec((1, l_pad, 128), lambda b, h, i, *_: (b, 0, h))

@@ -216,3 +216,54 @@ def test_out_indices_none_gives_clip_embed_only(rng):
     assert out['feats'][0].shape == (1, 4, 4, CLIP_DIM)
     norms = np.linalg.norm(np.asarray(out['feats'][0]), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize('remat', [False, True])
+def test_token_pad_equivalence(rng, remat):
+    """token_pad_to_multiple pads L=4*4+1=17 tokens up to 24 with masked
+    attention (clip_vit docstring): feats/global_emb and parameter
+    gradients must match the unpadded model to fp32 reduction-order
+    tolerance (no parameter changes shape, so checkpoints are
+    interchangeable)."""
+    out_indices = [0, LAYERS]
+
+    def model(pad_mult):
+        return MaskClipViT(
+            img_size=(IMG, IMG), patch_size=PATCH, embed_dims=EMB,
+            num_layers=LAYERS, num_heads=HEADS, mlp_ratio=4,
+            clip_dim=CLIP_DIM, out_indices=out_indices, pre_norm=True,
+            final_norm=True, return_clip_embed=True, return_qkv=True,
+            remat=remat, token_pad_to_multiple=pad_mult)
+
+    img = jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32)
+    import jax
+    variables = model(1).init(jax.random.PRNGKey(0), img)
+
+    base = model(1).apply(variables, img)
+    padded = model(8).apply(variables, img)   # 17 -> 24 tokens
+
+    for got, want in zip(padded['feats'], base['feats']):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(padded['global_emb']),
+                               np.asarray(base['global_emb']),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        def f(params):
+            out = model(m).apply({'params': params}, img)
+            return (sum(jnp.sum(ft ** 2) for ft in out['feats'])
+                    + jnp.sum(out['global_emb'] ** 2))
+        return f
+
+    g_base = jax.grad(loss(1))(variables['params'])
+    g_pad = jax.grad(loss(8))(variables['params'])
+    flat_b = jax.tree_util.tree_leaves_with_path(g_base)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(g_pad))
+    for path, gb in flat_b:
+        gp = flat_p[path]
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gb),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
+        assert np.all(np.isfinite(np.asarray(gp))), path

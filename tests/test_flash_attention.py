@@ -130,3 +130,62 @@ def test_lora_adapter_starts_as_identity(rng):
         np.asarray(lora.apply(vl, x)), np.asarray(plain.apply(vp, x)),
         atol=1e-6)
     assert 'lora_q' in vl['params'] and 'lora_o' in vl['params']
+
+
+# ---------------------------------------------------------------------------
+# valid_len (token-pad) masking: pad KEYS masked out, valid rows exact.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('impl', ['xla', 'pallas'])
+@pytest.mark.parametrize('shape', [
+    (2, 40, 128, 2),    # packed kernel path (d=64, even heads)
+    (1, 24, 96, 4),     # unpacked kernel path (d=24)
+])
+def test_valid_len_masks_pad_tokens(rng, impl, shape):
+    """Run attention on arrays whose tail rows are JUNK, declaring
+    valid_len; the valid rows must match the junk-free computation (exact
+    in math — pad probabilities underflow to 0.0 — so any fp difference is
+    reduction-order noise; this is the invariant clip_vit's
+    token_pad_to_multiple relies on)."""
+    b, l, c, h = shape
+    n_pad = 7
+    q = rng.randn(b, l + n_pad, c).astype(np.float32) * 3
+    k = rng.randn(b, l + n_pad, c).astype(np.float32) * 3
+    v = rng.randn(b, l + n_pad, c).astype(np.float32) * 3
+
+    def run(fq, fk, fv, valid_len):
+        if impl == 'pallas':
+            return flash_mha(jnp.asarray(fq), jnp.asarray(fk),
+                             jnp.asarray(fv), h, interpret=True,
+                             valid_len=valid_len)
+        return _mha_xla(jnp.asarray(fq), jnp.asarray(fk), jnp.asarray(fv),
+                        h, valid_len=valid_len)
+
+    want = np.asarray(run(q[:, :l], k[:, :l], v[:, :l], None))
+    got = np.asarray(run(q, k, v, l))[:, :l]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_valid_len_gradients_match(rng):
+    """Gradients through the padded+masked packed kernel equal the unpadded
+    gradients on valid rows (and are finite on pad rows)."""
+    b, l, c, h = 2, 40, 128, 2
+    n_pad = 8
+    qp = jnp.asarray(rng.randn(b, l + n_pad, c), jnp.float32)
+    kp = jnp.asarray(rng.randn(b, l + n_pad, c), jnp.float32)
+    vp = jnp.asarray(rng.randn(b, l + n_pad, c), jnp.float32)
+
+    def loss_pad(q, k, v):
+        out = flash_mha(q, k, v, h, interpret=True, valid_len=l)
+        return jnp.sum(out[:, :l] ** 2)   # consumers drop pad rows
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_mha_xla(q[:, :l], k[:, :l], v[:, :l], h) ** 2)
+
+    g_pad = jax.grad(loss_pad, argnums=(0, 1, 2))(qp, kp, vp)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qp, kp, vp)
+    for gp, gr in zip(g_pad, g_ref):
+        np.testing.assert_allclose(np.asarray(gp)[:, :l],
+                                   np.asarray(gr)[:, :l],
+                                   rtol=1e-4, atol=1e-4)
+        assert np.all(np.isfinite(np.asarray(gp)))
