@@ -45,6 +45,9 @@ def build_backbone(cfg, dtype):
             token_pad_to_multiple=int(
                 os.environ.get('SEMIVL_TOKEN_PAD_MULTIPLE',
                                cfg.get('token_pad_to_multiple', 1))),
+            ln_stat_barrier=bool(int(
+                os.environ.get('SEMIVL_LN_STAT_BARRIER',
+                               cfg.get('ln_stat_barrier', 0)))),
             dtype=dtype)
     if kind == 'ResNetV1c':
         from semivl_tpu.models.resnet import ResNetV1c

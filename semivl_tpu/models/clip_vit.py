@@ -64,6 +64,9 @@ class MaskClipViT(nn.Module):
     # the grid/cls outputs slice pads off, so real-token numerics are
     # exactly those of the unpadded model. No parameters change shape.
     token_pad_to_multiple: int = 1
+    # optimization_barrier before every block LayerNorm's stat reduction
+    # (see models/layers.py LayerNorm.stat_barrier). Numerically identity.
+    ln_stat_barrier: bool = False
     dtype: Any = jnp.float32
 
     def _out_indices(self):
@@ -145,6 +148,7 @@ class MaskClipViT(nn.Module):
             x, v = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 norm_eps=self.norm_eps, dtype=self.dtype,
+                ln_stat_barrier=self.ln_stat_barrier,
                 name=f'layers_{i}')(x, need_v, valid_len)
             if last and self.skip_last_attn and v is not None:
                 x = v

@@ -3,6 +3,7 @@
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from semivl_tpu.ops.attention import multi_head_attention
@@ -26,9 +27,18 @@ class LayerNorm(nn.Module):
     """
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    # optimization_barrier on the input: stops XLA fusing the fp32
+    # mean/var reductions into the producing GEMM's epilogue (the round-3
+    # device trace measured 768-out-channel GEMMs dragged to 85-100 TF/s
+    # by fused LN-stat epilogues vs a 165-175 TF/s clean-GEMM ceiling;
+    # tools/encoder_microbench.py A/Bs this on a block replica).
+    # Numerically an identity.
+    stat_barrier: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.stat_barrier:
+            x = jax.lax.optimization_barrier(x)
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -155,13 +165,16 @@ class TransformerBlock(nn.Module):
     mlp_ratio: int = 4
     mlp_hidden: Optional[int] = None  # overrides mlp_ratio * dim if set
     norm_eps: float = 1e-6
+    ln_stat_barrier: bool = False  # see LayerNorm.stat_barrier
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, return_v=False, valid_len=None):
         c = x.shape[-1]
-        ln1 = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln1')
-        ln2 = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln2')
+        ln1 = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln1',
+                        stat_barrier=self.ln_stat_barrier)
+        ln2 = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name='ln2',
+                        stat_barrier=self.ln_stat_barrier)
         attn = Attention(num_heads=self.num_heads, dtype=self.dtype,
                          name='attn')
         ffn = Mlp(hidden_dim=self.mlp_hidden or self.mlp_ratio * c,

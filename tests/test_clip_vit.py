@@ -267,3 +267,26 @@ def test_token_pad_equivalence(rng, remat):
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=str(path))
         assert np.all(np.isfinite(np.asarray(gp))), path
+
+
+def test_ln_stat_barrier_is_identity(rng):
+    """ln_stat_barrier (optimization_barrier before LN stats — a TPU
+    scheduling hint) must not change any output bit."""
+    import jax
+    out_indices = [LAYERS]
+    img = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+
+    def model(flag):
+        return MaskClipViT(
+            img_size=(IMG, IMG), patch_size=PATCH, embed_dims=EMB,
+            num_layers=LAYERS, num_heads=HEADS, mlp_ratio=4,
+            clip_dim=CLIP_DIM, out_indices=out_indices,
+            ln_stat_barrier=flag)
+
+    variables = model(False).init(jax.random.PRNGKey(0), img)
+    a = model(False).apply(variables, img)
+    b2 = model(True).apply(variables, img)
+    for ga, gb in zip(a['feats'], b2['feats']):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    np.testing.assert_array_equal(np.asarray(a['global_emb']),
+                                  np.asarray(b2['global_emb']))
