@@ -16,6 +16,19 @@ The reference implementation (CUDA/PyTorch/mmseg) is re-designed TPU-first:
 - Pallas fused attention for the ViT hot path.
 """
 
+import os as _os
+
 from semivl_tpu.version import __version__
+
+# The deployment host's sitecustomize pins the axon TPU backend over the
+# JAX_PLATFORMS env var; an explicit cpu request (tests, tool dry-runs,
+# driver virtual-device mode) would otherwise hang on the TPU tunnel.
+# Honour it for every semivl_tpu entry point. Must run before the jax
+# backend initialises — i.e. before any jax array op — which importing
+# this package guarantees for all our CLIs/tools.
+if _os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 __all__ = ["__version__"]

@@ -46,6 +46,7 @@ accumulate across the sequential grid into constant-index output blocks.
 
 import dataclasses
 import functools
+import os
 from typing import List
 
 import jax
@@ -1138,7 +1139,10 @@ def _deinterleave(x):
 def _stage_banded(cin, cs, cout, h, w, fuse_head):
     """Whether a stage's backward must take the row-banded path
     (ops/fused_decoder_banded.py) because the whole-plane backward
-    kernel exceeds the scoped-VMEM limit."""
+    kernel exceeds the scoped-VMEM limit. SEMIVL_FORCE_BANDED_BWD=1
+    forces the banded route at any geometry (tool/test A-B knob)."""
+    if os.environ.get('SEMIVL_FORCE_BANDED_BWD') == '1':
+        return True
     return stage_vmem_bytes(cin, cs, cout, h, w, fuse_head,
                             backward=True) > FUSED_VMEM_LIMIT
 

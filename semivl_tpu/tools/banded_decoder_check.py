@@ -7,8 +7,10 @@ back to the XLA decoder; the banded backward
 the attached device:
 
   1. checks fused-vs-XLA gradient parity for the Up/Up/head chain at
-     the target geometry (bf16 storage -> loose tolerance; run
-     --dtype float32 --interpret-ref on CPU for exact checks), and
+     the target geometry (kernel-default bf16 internal storage -> loose
+     tolerance vs the model-dtype XLA chain; run
+     ``--dtype float32 --storage float32`` on CPU for tight fp32
+     checks), and
   2. times forward and forward+backward for both paths.
 
 Usage:
@@ -58,6 +60,9 @@ def main():
     parser.add_argument('--grid', type=int, default=51,
                         help='base feature grid (801 crop / 16 patch)')
     parser.add_argument('--dtype', default='bfloat16')
+    parser.add_argument('--storage', default=None,
+                        help='kernel internal storage dtype (default: the '
+                             'kernel default, bfloat16)')
     parser.add_argument('--iters', type=int, default=20)
     parser.add_argument('--band-rows', type=int, default=0,
                         help='override band size (0 = auto)')
@@ -105,15 +110,17 @@ def main():
         y = hm.apply({'params': hp}, out)
         return jnp.transpose(y, (0, 3, 1, 2))
 
+    storage = jnp.dtype(args.storage) if args.storage else None
+
     def loss_fused(xx, s1, s2, pp1, pp2, hp):
-        y = fused_vlg_decoder(xx, s1, s2, pp1, pp2, hp)
+        y = fused_vlg_decoder(xx, s1, s2, pp1, pp2, hp, storage=storage)
         return jnp.sum(y.astype(jnp.float32) * wmap)
 
     def loss_xla(xx, s1, s2, pp1, pp2, hp):
         return jnp.sum(xla_chain(xx, s1, s2, pp1, pp2, hp) * wmap)
 
     inputs = (x, skip1, skip2, p1, p2, head)
-    fwd_f = jax.jit(lambda *a: fused_vlg_decoder(*a))
+    fwd_f = jax.jit(lambda *a: fused_vlg_decoder(*a, storage=storage))
     fwd_x = jax.jit(xla_chain)
     gr_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5)))
     gr_x = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5)))
