@@ -17,6 +17,7 @@ model code:
   barrier_ln    lax.optimization_barrier on each LayerNorm input (splits
                 the GEMM and the LN-stat reduction into separate fusions)
   barrier_res   barrier after each residual add instead
+  barrier_gelu  barrier between the fc1 GEMM and the exact-erf GELU
   pad=L'        run the whole block at a padded token count
 
 plus pure-GEMM rate references at the step's M values.
@@ -92,6 +93,7 @@ def main():
     def block(x, w, mode):
         bar_ln = mode == 'barrier_ln'
         bar_res = mode == 'barrier_res'
+        bar_gelu = mode == 'barrier_gelu'
         y = layer_norm(x, w['ln1_s'], w['ln1_b'], barrier=bar_ln)
         qkv = y @ w['qkv'] + w['qkv_b']
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -100,8 +102,11 @@ def main():
         if bar_res:
             x = lax.optimization_barrier(x)
         y = layer_norm(x, w['ln2_s'], w['ln2_b'], barrier=bar_ln)
-        ff = jnp.asarray(
-            jax.nn.gelu(y @ w['fc1'] + w['fc1_b'], approximate=False))
+        ff = y @ w['fc1'] + w['fc1_b']
+        if bar_gelu:
+            # split the exact-erf GELU (VPU) out of the fc1 GEMM epilogue
+            ff = lax.optimization_barrier(ff)
+        ff = jnp.asarray(jax.nn.gelu(ff, approximate=False))
         x = x + (ff @ w['fc2'] + w['fc2_b'])
         if bar_res:
             x = lax.optimization_barrier(x)
@@ -125,7 +130,7 @@ def main():
 
     # ---- single-block and stacked fwd / fwd+bwd per mode
     x0 = mk(b, l, c)
-    for mode in ('base', 'barrier_ln', 'barrier_res'):
+    for mode in ('base', 'barrier_ln', 'barrier_res', 'barrier_gelu'):
         fwd = jax.jit(functools.partial(stack, mode=mode, depth=args.layers))
         results[f'stack{args.layers}_fwd_{mode}_ms'] = round(
             timeit(fwd, x0, W, iters=args.iters), 3)
