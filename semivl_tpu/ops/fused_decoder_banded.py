@@ -91,10 +91,13 @@ class BandPlan:
 
 def make_band_plan(h, w, depth, band_rows):
     """A plan whose extension covers ``depth`` rows of conv reach,
-    rounded up to the alignment unit nc."""
+    rounded up to the alignment unit nc. ``band_rows`` is rounded UP to
+    a multiple of nc (rounding down would silently coarsen a requested
+    fine banding — e.g. band_rows=4 at nc=16 must give 16-row bands,
+    not one whole-plane band)."""
     nc = make_geometry(h, w).nc
     E = -(-depth // nc) * nc
-    R = max(nc, band_rows // nc * nc)
+    R = max(nc, -(-band_rows // nc) * nc)
     nb = -(-h // R)
     return BandPlan(h, w, R, E, nb, make_geometry(R + 2 * E, w))
 
@@ -641,8 +644,15 @@ def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
     w1dgs = flat_w(pack_dgrad(w1, t1, t1dgs, cdt))
     planC = planB          # same depth-1 halo -> identical band layout
     geoC = planC.geo
-    xc = band_input(x, planC, cdt)
-    skc = band_input(skip_ph.reshape(b, 4 * cs, h, w), planC, cdt)
+    if (planC.R, planC.E) == (planA.R, planA.E):
+        # nc >= conv depth (e.g. 801-crop stage 1: nc=2, depth 2): pass
+        # A's extension equals the depth-1 extension, so its x/skip band
+        # copies are element-identical — reuse rather than re-band
+        # (guarantees the HBM saving instead of relying on XLA CSE).
+        xc, skc = xb, skb
+    else:
+        xc = band_input(x, planC, cdt)
+        skc = band_input(skip_ph.reshape(b, 4 * cs, h, w), planC, cdt)
     raw1_c = raw1_b        # reuse pass B's halo copy (same plan)
     gy1_c = band_input_flat(band_join(gy1_sp, planB), planC, cdt)
     band, skip_band, plane_vec, const, out_band, out_vec = _specs(
@@ -718,16 +728,27 @@ def banded_vmem_bytes(cin, cs, cout, h, w, fuse_head, band_rows):
             scr += slots_full * cout * L * 2
             if fuse_head:
                 scr += slots_full * cout * L * 2 + 4 * cout * hwp * 2
+            # packed weight operands w1 (k1 x 4cout) + w2 (9cout x 4cout)
+            weights = 4 * cout * (k1 + 9 * cout) * 2
+            outw = 0
         elif kind == 'B':
             blocks = 3 * 4 * cout * L * 2
             outs = 4 * cout * hwp * 2
             scr = 2 * slots_full * cout * L * 2 + 4 * cout * hwp * 2
+            # w2dg operand + the revisited gw2 fp32 wgrad accumulator
+            weights = 4 * cout * 9 * cout * 2
+            outw = 4 * cout * 9 * cout * 4
         else:
             blocks = (cin + 4 * cs + 8 * cout) * L * 2
             outs = cin * hwp * 2 + 4 * cs * hwp * 4
             scr = (max(na - 1, 1) * cin + 4 * max(ns - 1, 1) * cs) * L * 2
             scr += slots_full * cout * L * 2
-        est.append((blocks + outs) * it + scr + trans)
+            # w1dgx + w1dgs operands (each k1 x 4cout) + the revisited
+            # gw1 fp32 wgrad accumulator (k1 x 4cout)
+            weights = 2 * 4 * cout * k1 * 2
+            outw = 4 * cout * k1 * 4
+        est.append((blocks + outs) * it + scr + trans
+                   + weights * it + outw)
     return max(est)
 
 

@@ -70,8 +70,12 @@ def _assert_stage_parity(b, n, h, w, cin, cs, cout, band_rows, head,
 
 @pytest.mark.quick
 def test_banded_stage_multiband():
-    """3 bands, small row stride (ws=8, nc=16)."""
-    _assert_stage_parity(1, 2, 12, 8, 24, 16, 32, 4, head=False)
+    """Genuinely 3 bands: ws=8 gives nc=16, so h must exceed 2*nc
+    (banding cannot go finer than the nc alignment unit — h=40 ->
+    R=16, nb=3 with a ragged 8-row last band)."""
+    from semivl_tpu.ops.fused_decoder_banded import make_band_plan
+    assert make_band_plan(40, 8, 2, 4).nb == 3
+    _assert_stage_parity(1, 2, 40, 8, 24, 16, 32, 4, head=False)
 
 
 def test_banded_stage_head_ragged():
@@ -119,7 +123,10 @@ def test_banded_chain_gradients_match_xla(monkeypatch):
     from tests.test_fused_decoder import _chain_setup
     monkeypatch.setattr(fused_decoder, '_stage_banded',
                         lambda *a: True)
-    # small bands so both stages genuinely go multi-band (8/16-row planes)
+    # Small bands: stage 2 (16-row planes, nc=8) goes multi-band (nb=2);
+    # stage 1 (8-row planes, w=8 -> nc=16) cannot band finer than nc so
+    # it runs as one band — its multi-band machinery is covered by the
+    # _assert_stage_parity tests above.
     monkeypatch.setattr(fused_decoder_banded, 'choose_band_rows',
                         lambda *a, **k: 4)
     x, skip1, skip2, p1, p2, head, xla_chain = _chain_setup()
