@@ -89,10 +89,15 @@ def multi_head_attention(q, k, v, num_heads, impl=None, valid_len=None):
     caller drops.
     """
     impl = impl or _DEFAULT_IMPL
+    if k.shape[1] != q.shape[1] or q.shape[-1] % num_heads:
+        # Cross-attention (kv length != q length) or a channel count the
+        # head split can't tile: the Pallas kernels assume neither —
+        # always the XLA formulation (correct for both).
+        impl = 'xla'
     if impl == 'auto':
         import jax
         on_tpu = jax.devices()[0].platform == 'tpu'
-        packed_ok = (q.shape[-1] // num_heads == 64) and num_heads % 2 == 0
+        packed_ok = (q.shape[-1] == num_heads * 64) and num_heads % 2 == 0
         if not on_tpu:
             impl = 'xla'
         elif packed_ok:

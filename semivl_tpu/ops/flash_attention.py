@@ -47,16 +47,15 @@ def _block_plan(seq_len, backward):
     under the scoped-VMEM roof.
     """
     l_pad = _round_up(seq_len, 128)
-    for bq in (576, 512, 384, 256, 192, 128):
+    for bq in (576, 512, 384, 256, 192, 128, 64, 32, 16, 8):
         if l_pad % bq:
             continue
         if backward and bq * l_pad * 4 * 3 > 9 * 1024 * 1024:
             continue  # s/dp/ds fp32 live set cap
-        if l_pad // bq >= 1:
-            nsplit = max(n for n in (4, 3, 2, 1)
-                         if bq % n == 0 and (bq // n) % 8 == 0)
-            return l_pad, bq, nsplit
-    return l_pad, _BQ, 1
+        nsplit = max(n for n in (4, 3, 2, 1)
+                     if bq % n == 0 and (bq // n) % 8 == 0)
+        return l_pad, bq, nsplit
+    return l_pad, 8, 1  # L > ~37k backward: smallest row block
 
 
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub, nsplit):
@@ -88,17 +87,11 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub, nsplit):
 def _attend_heads(qh, kh, vh, valid_len=None):
     """XLA reference attention on (BH, L, D) arrays (used for the VJP).
 
-    ``valid_len``: mask keys at positions >= valid_len (same -1e30
-    semantics as the kernels) so token-padded inputs (clip_vit
-    ``token_pad_to_multiple``) keep exact numerics on the valid rows."""
-    d = qh.shape[-1]
-    s = jnp.einsum('bqd,bkd->bqk', qh * (d ** -0.5), kh)
-    s = s.astype(jnp.float32)
-    if valid_len is not None and valid_len < qh.shape[1]:
-        kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(kidx < valid_len, s, -1e30)
-    p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
-    return jnp.einsum('bqk,bkd->bqd', p, vh)
+    Delegates to the dispatcher's reference implementation (one head) so
+    the valid_len masking semantics cannot drift between the
+    SEMIVL_FLASH_BWD=xla fallback and the production XLA path."""
+    from semivl_tpu.ops.attention import _mha_xla
+    return _mha_xla(qh, kh, vh, 1, valid_len=valid_len)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -266,6 +259,11 @@ def flash_mha(q, k, v, num_heads, interpret=None, valid_len=None):
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     b, l, c = q.shape
+    assert c % num_heads == 0, (c, num_heads)
+    assert k.shape[1] == l and v.shape[1] == l, (
+        'flash_mha is self-attention only (q/k/v share one sequence '
+        'length); the kernels key their mask off q\'s length, so '
+        'cross-attention must take the XLA path', q.shape, k.shape)
     d = c // num_heads
     if valid_len is None:
         valid_len = l
