@@ -253,18 +253,21 @@ class Evaluator:
             jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
             jnp.asarray(valid, jnp.float32))
 
-    def _accumulate(self, canvas, img, coords, ch, cw, softmax):
+    def _accumulate(self, canvas, img, coords, ch, cw, softmax,
+                    img_dev=None):
         """Chunked scatter-accumulate of same-shaped windows into canvas.
 
         ``img``: (1, H, W, 3) numpy; uploaded once, zero-padded to the
-        canvas bucket so slice programs don't specialise on exact shapes.
+        canvas bucket so slice programs don't specialise on exact shapes
+        (pass ``img_dev`` to reuse an already-uploaded padded image).
         Chunks are padded to multiples of the mesh size with invalid
         (masked-out) crops.
         """
-        hp, wp = canvas.shape[1:]
-        pad = np.zeros((1, hp, wp, 3), img.dtype)
-        pad[:, :img.shape[1], :img.shape[2]] = img
-        img_dev = jnp.asarray(pad)
+        if img_dev is None:
+            hp, wp = canvas.shape[1:]
+            pad = np.zeros((1, hp, wp, 3), img.dtype)
+            pad[:, :img.shape[1], :img.shape[2]] = img
+            img_dev = jnp.asarray(pad)
         n_real = len(coords)
         n = -(-n_real // self.world) * self.world
         coords = list(coords) + [(0, 0)] * (n - n_real)
@@ -314,18 +317,23 @@ class Evaluator:
         ``Deferred`` whose .get() yields the prediction — fetch it after
         dispatching the next image to overlap transfers."""
         crop = self.cfg.get('crop_size', 0)
-        if img.dtype == np.uint8 and (
-                mode == 'padded_sliding_window'
-                or (mode == 'zegclip_sliding_window'
-                    and min(img.shape[1:3]) < crop)):
-            # Modes that zero-pad crops must pad in *normalised* space
-            # (mmseg pads the already-normalised image with 0,
+        if img.dtype == np.uint8 and mode == 'padded_sliding_window':
+            # This mode zero-pads crops, and must pad in *normalised*
+            # space (mmseg pads the already-normalised image with 0,
             # supervised.py:41-67); uint8 zero-padding would normalise to
             # -mean/std (~-2.1). Host-normalise first — padding then adds
             # exact zeros and _to_model_input passes floats through.
             from semivl_tpu.data import transforms as T
             img = T.normalize(img[0])[None]
         device = self.device_accumulate and not return_logits
+        if mode == 'zegclip_sliding_window' and min(img.shape[1:3]) < crop:
+            # Image smaller than the crop: the reference feeds the crop at
+            # its natural clipped size (supervised.py:77-87 never pads) —
+            # only the host path reproduces that; the device path slices
+            # fixed (crop, crop) windows (and would zero-pad the model
+            # input, changing logits near the short edge). Shipped
+            # configs never hit this (VOC val is min-512 resized).
+            device = False
         if mode == 'zegclip_sliding_window':
             out = (self._zegclip_sliding_device(img, mask_shape) if device
                    else self._zegclip_sliding(img, mask_shape))
@@ -336,6 +344,11 @@ class Evaluator:
             out = self._padded_sliding(img, mask_shape)
         elif mode in ('original', 'center_crop'):
             if mode == 'center_crop':
+                # Images smaller than crop_size give negative offsets and
+                # an edge sliver rather than a center crop — the reference
+                # has the identical quirk (supervised.py:120-124, torch
+                # negative slicing), and evaluate() crops the mask with the
+                # same arithmetic, so parity holds.
                 size = self.cfg['crop_size']
                 h, w = img.shape[1:3]
                 sh, sw = (h - size) // 2, (w - size) // 2
@@ -424,23 +437,10 @@ class Evaluator:
         canvas = self._zeros((self.nclass, hp, wp))
         pad = np.zeros((1, hp, wp, 3), img.dtype)
         pad[:, :h, :w] = img
-        img_dev = jnp.asarray(pad)
+        img_dev = jnp.asarray(pad)  # uploaded once, shared across groups
         for (ch, cw), coords in shapes.items():
-            n_real = len(coords)
-            n = -(-n_real // self.world) * self.world
-            coords = list(coords) + [(0, 0)] * (n - n_real)
-            valid = [1.0] * n_real + [0.0] * (n - n_real)
-            off = 0
-            max_chunk = -(-32 // self.world) * self.world
-            for c in _chunk_sizes(n // self.world,
-                                  max_chunk // self.world):
-                c *= self.world
-                ys = [coords[off + i][0] for i in range(c)]
-                xs = [coords[off + i][1] for i in range(c)]
-                va = [valid[off + i] for i in range(c)]
-                canvas = self._acc_group(canvas, img_dev, c, ch, cw, ys,
-                                         xs, va, softmax=True)
-                off += c
+            canvas = self._accumulate(canvas, img, coords, ch, cw,
+                                      softmax=True, img_dev=img_dev)
         dev = self._finalize_argmax(canvas)
         return self.Deferred(dev, (h, w)), None
 
@@ -581,5 +581,5 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
             axis=tuple(range(gathered.ndim - 2)))
         union_sum = gathered[..., 1, :].sum(
             axis=tuple(range(gathered.ndim - 2)))
-    iou_class = inter_sum / (union_sum + 1e-10) * 100.0
-    return float(np.mean(iou_class)), iou_class
+    from semivl_tpu.evaluation.metrics import miou_from_histograms
+    return miou_from_histograms(inter_sum, union_sum)

@@ -224,3 +224,27 @@ def test_mesh_eval_full_evaluate(tiny_eval):
     ev1 = Evaluator(bundle.module, params, bundle.text_feats, cfg)
     miou1, _ = evaluate(ev1, ds, 'zegclip_sliding_window', cfg)
     assert abs(miou - miou1) < 0.5, (miou, miou1)
+
+
+def test_zegclip_small_image_device_falls_back_to_host(tiny_eval, rng):
+    """Images with a dimension below crop_size must take the host zegclip
+    path even under eval_device_accumulate: the reference feeds clipped
+    natural-size crops (supervised.py:77-87, no zero pad), which the
+    fixed-window device path cannot reproduce (and its 128-bucketed canvas
+    would be smaller than the slice it scatters). Device- and host-config
+    evaluators must agree exactly."""
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    img = rng.randn(1, 49, 117, 3).astype(np.float32)  # h < crop
+    mask_shape = (45, 111)
+
+    ev_dev = Evaluator(bundle.module, params, bundle.text_feats,
+                       dict(cfg, eval_device_accumulate=True))
+    ev_host = Evaluator(bundle.module, params, bundle.text_feats,
+                        dict(cfg, eval_device_accumulate=False))
+    pred_dev = ev_dev.predict(img, mask_shape, 'zegclip_sliding_window')
+    pred_host = ev_host.predict(img, mask_shape, 'zegclip_sliding_window')
+    assert pred_dev.shape == (1,) + mask_shape
+    np.testing.assert_array_equal(pred_dev, pred_host)
