@@ -146,13 +146,16 @@ class SemiDataset:
         img, mask = T.hflip(img, mask, rs)
 
         if self.mode == 'train_l':
-            if self.labeled_photometric_distortion:
-                img = T.photometric_distortion(img, rs)
             if self.strong_aug_on_device:
                 # uint8 transport (image AND label — class ids fit a byte);
-                # normalisation/int32 cast happen in-graph
+                # normalisation/int32 cast happen in-graph. Photometric
+                # distortion is applied ON DEVICE in this mode
+                # (train/step.py) — applying it here too would double the
+                # jitter.
                 return dict(img_u8=np.asarray(img, np.uint8),
                             mask=np.asarray(mask, np.uint8))
+            if self.labeled_photometric_distortion:
+                img = T.photometric_distortion(img, rs)
             return dict(img=T.normalize(img), mask=np.asarray(mask, np.int32))
 
         # train_u: weak + 2 strong views (semi.py:85-107)

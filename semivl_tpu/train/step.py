@@ -117,8 +117,7 @@ def check_criterion_pairing(cfg, bundle):
 
 
 def _labeled_loss(cfg, logits, mask):
-    crit = cfg['criterion']['name'] if isinstance(cfg['criterion'], dict) \
-        else cfg['criterion']
+    crit = _criterion_name(cfg)
     if crit == 'CELoss':
         return cross_entropy(logits, mask)
     if crit == 'OHEM':
@@ -132,7 +131,13 @@ def _labeled_loss(cfg, logits, mask):
             logits, mask, thresh=kwargs.get('thresh', 0.7),
             min_kept=kwargs.get('min_kept', 200000), weight=weight)
     if crit == 'mmseg':
-        # SegLossPlus via the model's loss_decode (reference semivl.py:270)
+        # SegLossPlus via the model's loss_decode (reference semivl.py:270).
+        # NOTE final-layer only, matching the reference TRAIN LOOP exactly:
+        # semivl.py:269 passes {'pred_masks': pred} with no 'aux_outputs'
+        # key, so SegPlusCriterion's deep-supervision branch
+        # (atm_criterion.py:216-221) never fires there either — the aux
+        # plumbing (atm_head return_aux / seg_loss_plus aux_masks) exists
+        # for the mmseg-native path and is exercised by tests.
         from semivl_tpu.losses.seg_loss_plus import seg_loss_plus
         return seg_loss_plus(logits, mask, cfg['nclass'], axis_name='data')
     raise NotImplementedError(f'criterion {crit!r}')
@@ -173,6 +178,11 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
     mcc_text = (jnp.asarray(bundle.mcc_text_feats)
                 if bundle.mcc_text_feats is not None else None)
     mcc_lambda = cfg.get('maskclip_consistency_lambda', 0)
+    assert mcc_lambda == 0 or mcc_text is not None, (
+        'maskclip_consistency_lambda is set but the model bundle has no '
+        'MCC text embeddings — configure clip_encoder (builder.py) or set '
+        'the lambda to 0; silently training without the requested '
+        'guidance loss would be wrong')
     use_mcc = (mcc_lambda != 0) and mcc_text is not None
     mcc_conf_thresh = cfg.get('mcc_conf_thresh', 0.75)
     mcc_loss_reduce = cfg.get('mcc_loss_reduce', 'mean')
@@ -378,10 +388,17 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
     text = jnp.asarray(bundle.text_feats)
 
     def step_fn(state, batch, rng):
-        del rng
         batch = dict(batch)
         preempt_count = (jax.lax.psum(jnp.sum(batch.pop('preempt')), 'data')
                          if 'preempt' in batch else None)
+        if 'img_u8' in batch:  # uint8 transport (strong_aug_on_device)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+            from semivl_tpu.ops.augment import normalize_imagenet
+            x = batch.pop('img_u8').astype(jnp.float32) / 255.0
+            if cfg.get('labeled_photometric_distortion', False):
+                from semivl_tpu.ops.augment import photometric_distortion
+                x = photometric_distortion(rng, x)
+            batch['img'] = normalize_imagenet(x)
         if batch['mask'].dtype != jnp.int32:  # uint8 label transport
             batch['mask'] = batch['mask'].astype(jnp.int32)
         has_bn = 'batch_stats' in state.params
@@ -407,9 +424,13 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params['params'])
         new_inner = optax.apply_updates(state.params['params'], updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = _ema_update(ema, new_inner, cfg.get('ema_decay', 0.999))
         return (TrainState(params={**state.params, **new_colls,
                                    'params': new_inner},
-                           opt_state=new_opt_state, step=state.step + 1),
+                           opt_state=new_opt_state, step=state.step + 1,
+                           ema_params=ema),
                 metrics)
 
     sharded_step = jax.shard_map(

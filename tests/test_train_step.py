@@ -317,3 +317,40 @@ def test_mmseg_criterion_requires_atm_head(mesh):
     cfg = run_cfg(criterion_u='mmseg')
     with pytest.raises(AssertionError, match='ATM'):
         make_semivl_train_step(bundle, cfg, None, mesh, 10, None)
+
+
+def test_supervised_step_uint8_transport_and_ema(mesh, rng):
+    """supervised + strong_aug_on_device (uint8 image/label transport with
+    in-graph normalisation and optional photometric distortion) + EMA: the
+    step must consume img_u8 and carry ema_params forward (both previously
+    dropped on the supervised path)."""
+    bundle = tiny_bundle(num_classes=NCLS, img_size=IMG, with_mcc=False)
+    img = jnp.zeros((1, IMG, IMG, 3))
+    params = bundle.module.init(
+        {'params': jax.random.PRNGKey(0), 'fp': jax.random.PRNGKey(1)},
+        img, jnp.asarray(bundle.text_feats), method='init_variables')
+    cfg = run_cfg(maskclip_consistency_lambda=0)
+    cfg['strong_aug_on_device'] = True
+    cfg['labeled_photometric_distortion'] = True
+    cfg['ema_decay'] = 0.9
+    tx, _, mask = build_optimizer(cfg, params['params'], total_iters=10,
+                                  freeze_backbone=True,
+                                  exclude_keys=['attn', 'pos_embed'])
+    ema0 = jax.tree.map(np.asarray, params['params'])  # host snapshot
+    state = TrainState(params=params, opt_state=tx.init(params['params']),
+                       step=jnp.zeros((), jnp.int32),
+                       ema_params=jax.tree.map(jnp.array, ema0))
+    step_fn = make_supervised_train_step(bundle, cfg, tx, mesh, mask)
+    batch = shard_batch(dict(
+        img_u8=rng.randint(0, 256, (WORLD, IMG, IMG, 3)).astype(np.uint8),
+        mask=rng.randint(0, NCLS, (WORLD, IMG, IMG)).astype(np.uint8)),
+        mesh)
+    new_state, metrics = step_fn(replicate(state, mesh), batch,
+                                 replicate(jax.random.PRNGKey(0), mesh))
+    assert np.isfinite(np.asarray(metrics['loss_all']))
+    assert new_state.ema_params is not None
+    # EMA moved toward the updated params (trainable leaves changed)
+    moved = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        new_state.ema_params, ema0))
+    assert max(moved) > 0
