@@ -303,8 +303,13 @@ def _pass_a_kernel(x_ref, skip_ref, g_ref, m1_ref, r1_ref, m2_ref, r2_ref,
             q = jnp.sum(gyi * xhat, axis=1, keepdims=True)
             sgy = s if sgy is None else sgy + s
             sgyx = q if sgyx is None else sgyx + q
-    osgy_ref[0] = sgy
-    osgyx_ref[0] = sgyx
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        osgy_ref[...] = jnp.zeros(osgy_ref.shape, osgy_ref.dtype)
+        osgyx_ref[...] = jnp.zeros(osgyx_ref.shape, osgyx_ref.dtype)
+    osgy_ref[0] += sgy
+    osgyx_ref[0] += sgyx
 
 
 # ---------------------------------------------------------------------------
@@ -394,8 +399,13 @@ def _pass_b_kernel(raw1_ref, raw2_ref, gy2_ref, m1_ref, r1_ref, m2_ref,
             q2 = jnp.sum(gyi * xhat, axis=1, keepdims=True)
             sgy = s if sgy is None else sgy + s
             sgyx = q2 if sgyx is None else sgyx + q2
-    osgy_ref[0] = sgy
-    osgyx_ref[0] = sgyx
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        osgy_ref[...] = jnp.zeros(osgy_ref.shape, osgy_ref.dtype)
+        osgyx_ref[...] = jnp.zeros(osgyx_ref.shape, osgyx_ref.dtype)
+    osgy_ref[0] += sgy
+    osgyx_ref[0] += sgyx
 
 
 # ---------------------------------------------------------------------------
@@ -480,7 +490,11 @@ def _specs(plan, n_rep):
     const = lambda a: pl.BlockSpec(a.shape, lambda pi, bi: (0,) * a.ndim)
     out_band = lambda c: pl.BlockSpec((1, c, plan.geo.hwp),
                                       lambda pi, bi: (pi, 0, bi))
-    out_vec = lambda c: pl.BlockSpec((1, c, 1), lambda pi, bi: (pi, 0, bi))
+    # Reduction vectors: one (c, 1) block per PLANE, revisited across the
+    # inner band axis and accumulated in-kernel (a (1, c, 1) block over a
+    # (p, c, nb) array would violate Mosaic's last-dim block rule: 1 is
+    # neither 128-divisible nor equal to nb).
+    out_vec = lambda c: pl.BlockSpec((1, c, 1), lambda pi, bi: (pi, 0, 0))
     return band, skip_band, plane_vec, const, out_band, out_vec
 
 
@@ -540,7 +554,7 @@ def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
                 + [const(a) for a in head_ops])
     sp_band = lambda: (jax.ShapeDtypeStruct(
         (p, 4 * cout, planA.nb * geoA.hwp), cdt), out_band(4 * cout))
-    sp_vec = lambda: (jax.ShapeDtypeStruct((p, cout, planA.nb),
+    sp_vec = lambda: (jax.ShapeDtypeStruct((p, cout, 1),
                                            jnp.float32), out_vec(cout))
     out_shapes, out_specs = [], []
     for mk in (sp_band, sp_band, sp_band, sp_vec, sp_vec):
@@ -603,8 +617,8 @@ def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
                   + [const(g1s), const(g1b), const(g2s), const(w2dg)])
     out_shapes_b = [
         jax.ShapeDtypeStruct((p, 4 * cout, planB.nb * geoB.hwp), cdt),
-        jax.ShapeDtypeStruct((p, cout, planB.nb), jnp.float32),
-        jax.ShapeDtypeStruct((p, cout, planB.nb), jnp.float32),
+        jax.ShapeDtypeStruct((p, cout, 1), jnp.float32),
+        jax.ShapeDtypeStruct((p, cout, 1), jnp.float32),
         jax.ShapeDtypeStruct((4 * cout, w2.shape[-1]), jnp.float32),
     ]
     out_specs_b = [out_band(4 * cout), out_vec(cout), out_vec(cout),
