@@ -941,7 +941,11 @@ def _stage_fwd_core(x, skip_ph, w1, g1s, g1b, w2, g2s, g2b, wh=None,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=('arbitrary',),
+            # the stats-saving forward (banded-backward residuals) at
+            # 801-crop geometry needs 18.10 MB of scoped VMEM (compiler
+            # measured); the plain forward stays at the default budget
+            vmem_limit_bytes=20 * 1024 * 1024 if save_stats else None),
     )(x_pad, skip_pad, *packed)
     if save_stats:
         out, m1, r1, m2, r2 = outs
@@ -1251,10 +1255,14 @@ def fused_decoder_ok(cin, cs1, cout1, cs2, cout2, h, w, backward=True):
 
     ``backward=False`` gates forward-only use (teacher pass, eval) where
     only the forward kernels' footprint matters. With ``backward=True``
-    a stage whose whole-plane backward kernel does not fit is accepted
-    when the row-banded backward (ops/fused_decoder_banded.py) fits at
-    some band size — e.g. 801-crop Cityscapes (the forward always runs
-    whole-plane, so it must fit the forward limit either way)."""
+    a stage whose whole-plane backward kernel does not fit is REJECTED
+    by default even though the row-banded backward
+    (ops/fused_decoder_banded.py) would fit: measured on v5e at
+    801-crop Cityscapes geometry (2026-08-18,
+    tools/banded_decoder_check.py), the three-pass banded backward runs
+    fwd+bwd at 82.4 ms vs XLA's 38.5 ms — the per-pass in-VMEM forward
+    recompute triples the work, so XLA wins whenever banding is needed.
+    SEMIVL_FORCE_BANDED_BWD=1 opts back in (tool/test A-B knob)."""
     if w > 64:      # base widths w and 2w must fit a 128-lane row stride
         return False
     stages = [(cin, cs1, cout1, h, w, False),
@@ -1263,10 +1271,11 @@ def fused_decoder_ok(cin, cs1, cout1, cs2, cout2, h, w, backward=True):
         return all(stage_vmem_bytes(*s, backward=False)
                    <= FUSED_VMEM_LIMIT_FWD for s in stages)
     from semivl_tpu.ops.fused_decoder_banded import choose_band_rows
+    allow_banded = os.environ.get('SEMIVL_FORCE_BANDED_BWD') == '1'
     for s in stages:
         if stage_vmem_bytes(*s, backward=False) > FUSED_VMEM_LIMIT_FWD:
             return False
-        if (stage_vmem_bytes(*s, backward=True) > FUSED_VMEM_LIMIT
-                and choose_band_rows(*s) is None):
-            return False
+        if stage_vmem_bytes(*s, backward=True) > FUSED_VMEM_LIMIT:
+            if not (allow_banded and choose_band_rows(*s) is not None):
+                return False
     return True

@@ -133,11 +133,13 @@ def test_fused_decoder_vmem_gate_decision():
     assert head(jnp.bfloat16).fused_decoder_ok(32, 32)
     assert head(jnp.float32).fused_decoder_ok(32, 32)
     # 801-crop Cityscapes: the forward chain fits (compiled+ran on-chip,
-    # teacher/eval path); the whole-plane backward kernels do not, but
-    # the row-banded backward (ops/fused_decoder_banded.py) does, so
-    # training now also qualifies
+    # teacher/eval path); the whole-plane backward kernels do not, and
+    # the row-banded backward measured slower than XLA on v5e, so
+    # training falls back to XLA by default (banded_decoder_check,
+    # 2026-08-18: banded 82.4 ms vs XLA 38.5 ms fwd+bwd)
     assert fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=False)
-    assert fused_decoder_ok(128, 32, 64, 16, 32, 51, 51, backward=True)
+    assert not fused_decoder_ok(128, 32, 64, 16, 32, 51, 51,
+                                backward=True)
     # row-stride bound: base w > 64 cannot host 2w in 128 lanes
     assert not fused_decoder_ok(128, 32, 64, 16, 32, 100, 100,
                                 backward=False)
