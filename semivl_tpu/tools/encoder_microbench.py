@@ -119,48 +119,52 @@ def main():
 
     results = {}
 
+    def record(key, val):
+        # print incrementally so a timed-out run still yields data
+        results[key] = val
+        print(json.dumps({key: val}), flush=True)
+
     # ---- pure-GEMM rate references at the step's M values
     for m in (4096, b * l, 4128, 4160, 4608):
         aa = mk(m, c)
         bb = mk(c, hid)
         f = jax.jit(lambda p, q: p @ q)
         t = timeit(f, aa, bb, iters=args.iters * 2)
-        results[f'gemm_{m}x{c}x{hid}_tf'] = round(
-            2 * m * c * hid / (t * 1e-3) / 1e12, 1)
+        record(f'gemm_{m}x{c}x{hid}_tf', round(
+            2 * m * c * hid / (t * 1e-3) / 1e12, 1))
 
     # ---- single-block and stacked fwd / fwd+bwd per mode
     x0 = mk(b, l, c)
     for mode in ('base', 'barrier_ln', 'barrier_res', 'barrier_gelu'):
         fwd = jax.jit(functools.partial(stack, mode=mode, depth=args.layers))
-        results[f'stack{args.layers}_fwd_{mode}_ms'] = round(
-            timeit(fwd, x0, W, iters=args.iters), 3)
+        record(f'stack{args.layers}_fwd_{mode}_ms', round(
+            timeit(fwd, x0, W, iters=args.iters), 3))
 
         def loss(x, w, _mode=mode):
             return jnp.sum(stack(x, w, _mode, args.layers)
                            .astype(jnp.float32))
 
         bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        results[f'stack{args.layers}_fwdbwd_{mode}_ms'] = round(
-            timeit(bwd, x0, W, iters=args.iters), 3)
+        record(f'stack{args.layers}_fwdbwd_{mode}_ms', round(
+            timeit(bwd, x0, W, iters=args.iters), 3))
 
     # ---- padded-token-count sweep (base mode)
     for lp in [int(s) for s in args.pads.split(',') if s]:
         xp = mk(b, lp, c)
         fwd = jax.jit(functools.partial(stack, mode='base',
                                         depth=args.layers))
-        results[f'stack{args.layers}_fwd_L{lp}_ms'] = round(
-            timeit(fwd, xp, W, iters=args.iters), 3)
+        record(f'stack{args.layers}_fwd_L{lp}_ms', round(
+            timeit(fwd, xp, W, iters=args.iters), 3))
 
         def loss(x, w):
             return jnp.sum(stack(x, w, 'base', args.layers)
                            .astype(jnp.float32))
 
         bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        results[f'stack{args.layers}_fwdbwd_L{lp}_ms'] = round(
-            timeit(bwd, xp, W, iters=args.iters), 3)
+        record(f'stack{args.layers}_fwdbwd_L{lp}_ms', round(
+            timeit(bwd, xp, W, iters=args.iters), 3))
 
-    for k, v in results.items():
-        print(json.dumps({k: v}))
+    print(json.dumps(results))
 
 
 if __name__ == '__main__':
