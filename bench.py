@@ -43,7 +43,16 @@ def main():
     parser.add_argument('--mode', default='train', choices=['train', 'eval'],
                         help="'eval' benchmarks zegclip sliding-window "
                              'inference FPS instead of the train step')
+    parser.add_argument('--dataset', default='pascal',
+                        choices=['pascal', 'coco', 'ade'],
+                        help='flagship config per dataset; coco/ade use the '
+                             'large-vocabulary N=81/150 text guidance at '
+                             "the reference's bs1 (experiments.py:373-424)")
     args = parser.parse_args()
+    if args.dataset != 'pascal':
+        # reference trains COCO/ADE at batch 1/GPU (experiments.py:385,413)
+        if args.batch_size == parser.get_default('batch_size'):
+            args.batch_size = 1
 
     from semivl_tpu.ops.attention import set_default_impl
     set_default_impl(args.attention)
@@ -73,7 +82,7 @@ def main():
     )
 
     crop = args.crop
-    cfg = _flagship_cfg(crop_size=crop)
+    cfg = _flagship_cfg(crop_size=crop, dataset=args.dataset)
     cfg['batch_size'] = args.batch_size
     bundle = build_model(cfg, dtype=jnp.dtype(args.dtype))
 
@@ -112,7 +121,7 @@ def main():
     ign = np.zeros((b, crop, crop), np.int32)
     batch = shard_batch(dict(
         img_x=imgs(),
-        mask_x=rs.randint(0, 21, (b, crop, crop)).astype(np.int32),
+        mask_x=rs.randint(0, cfg['nclass'], (b, crop, crop)).astype(np.int32),
         img_w=imgs(), img_s1=imgs(), img_s2=imgs(), ignore_mask=ign,
         cutmix_box1=boxes, cutmix_box2=boxes,
         img_w_other=imgs(), img_s1_other=imgs(), img_s2_other=imgs(),

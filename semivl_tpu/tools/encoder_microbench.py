@@ -164,7 +164,10 @@ def main():
         record(f'stack{args.layers}_fwdbwd_L{lp}_ms', round(
             timeit(bwd, xp, W, iters=args.iters), 3))
 
-    print(json.dumps(results))
+    # Aggregate to stderr: stdout already carries one JSON line per key
+    # (a line-by-line consumer must not see the same data twice).
+    import sys
+    print(json.dumps(results), file=sys.stderr)
 
 
 if __name__ == '__main__':
