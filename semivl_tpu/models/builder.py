@@ -48,6 +48,9 @@ def build_backbone(cfg, dtype):
             ln_stat_barrier=bool(int(
                 os.environ.get('SEMIVL_LN_STAT_BARRIER',
                                cfg.get('ln_stat_barrier', 0)))),
+            gelu_barrier=bool(int(
+                os.environ.get('SEMIVL_GELU_BARRIER',
+                               cfg.get('gelu_barrier', 0)))),
             dtype=dtype)
     if kind == 'ResNetV1c':
         from semivl_tpu.models.resnet import ResNetV1c

@@ -67,6 +67,10 @@ class MaskClipViT(nn.Module):
     # optimization_barrier before every block LayerNorm's stat reduction
     # (see models/layers.py LayerNorm.stat_barrier). Numerically identity.
     ln_stat_barrier: bool = False
+    # optimization_barrier between each ffn's fc1 GEMM and the erf GELU
+    # (models/layers.py Mlp.gelu_barrier). Numerically identity; measured
+    # -19% on the stacked-block FORWARD (encoder_microbench barrier_gelu).
+    gelu_barrier: bool = False
     dtype: Any = jnp.float32
 
     def _out_indices(self):
@@ -149,6 +153,7 @@ class MaskClipViT(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 norm_eps=self.norm_eps, dtype=self.dtype,
                 ln_stat_barrier=self.ln_stat_barrier,
+                gelu_barrier=self.gelu_barrier,
                 name=f'layers_{i}')(x, need_v, valid_len)
             if last and self.skip_last_attn and v is not None:
                 x = v

@@ -136,6 +136,12 @@ class Mlp(nn.Module):
     maskclip_vit.py:94-100; dropout rates are 0 in every SemiVL config)."""
     hidden_dim: int
     act: Callable = gelu_exact
+    # optimization_barrier between the fc1 GEMM and the activation: stops
+    # XLA fusing the erf GELU (VPU) into the GEMM epilogue, which was
+    # measured to drag the forward GEMM rate (-19% fwd on the 12-block
+    # stack at b4 L=1025, tools/encoder_microbench.py barrier_gelu).
+    # Numerically identity.
+    gelu_barrier: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -143,6 +149,8 @@ class Mlp(nn.Module):
         c = x.shape[-1]
         h = nn.Dense(self.hidden_dim, name='fc1', dtype=self.dtype,
                      param_dtype=jnp.float32)(x)
+        if self.gelu_barrier:
+            h = jax.lax.optimization_barrier(h)
         h = self.act(h)
         return nn.Dense(c, name='fc2', dtype=self.dtype,
                         param_dtype=jnp.float32)(h)
@@ -166,6 +174,7 @@ class TransformerBlock(nn.Module):
     mlp_hidden: Optional[int] = None  # overrides mlp_ratio * dim if set
     norm_eps: float = 1e-6
     ln_stat_barrier: bool = False  # see LayerNorm.stat_barrier
+    gelu_barrier: bool = False  # see Mlp.gelu_barrier
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -178,7 +187,8 @@ class TransformerBlock(nn.Module):
         attn = Attention(num_heads=self.num_heads, dtype=self.dtype,
                          name='attn')
         ffn = Mlp(hidden_dim=self.mlp_hidden or self.mlp_ratio * c,
-                  dtype=self.dtype, name='ffn')
+                  gelu_barrier=self.gelu_barrier, dtype=self.dtype,
+                  name='ffn')
 
         y = ln1(x)
         if return_v:

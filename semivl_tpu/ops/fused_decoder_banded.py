@@ -507,10 +507,15 @@ def _mg_vectors(gmat, gs, sgy, sgyx):
 
 def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
                       g2b, wh=None, hb=None, interpret=None, storage=None,
-                      band_rows=None):
+                      band_rows=None, stop_after=None):
     """Row-banded drop-in for ``_stage_bwd`` (same returns), consuming
     the forward-saved GroupNorm statistics ``stats = (m1, r1, m2, r2)``
-    (each (P, Cout, 1) float32 from ``_stage_fwd_core(save_stats=True)``)."""
+    (each (P, Cout, 1) float32 from ``_stage_fwd_core(save_stats=True)``).
+
+    ``stop_after`` ('A' | 'B') returns that pass's raw outputs instead of
+    completing — per-pass cost attribution for tools/banded_decoder_check
+    (the full chain is A ∘ B ∘ C, so B = time(A..B) - time(A), etc.).
+    """
     cdt = storage or _CDT
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
@@ -595,6 +600,8 @@ def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
     else:
         raw1_sp, raw2_sp, gy2_sp, sgy2, sgyx2 = outs
         gwh = ghb = None
+    if stop_after == 'A':
+        return outs
 
     # ---- close GN2 reductions (XLA)
     gmat = _group_mat(cout, h * w)
@@ -643,6 +650,8 @@ def _stage_bwd_banded(x, skip_ph, g_out, stats, w1, g1s, g1b, w2, g2s,
             dimension_semantics=('arbitrary', 'arbitrary')),
     )(raw1_b, raw2_b, gy2_b, m1, r1, m2, r2, mg1_2, mg2_2, g1s, g1b,
       g2s, w2dg)
+    if stop_after == 'B':
+        return gy1_sp, sgy1, sgyx1, gw2
 
     # ---- close GN1 reductions (XLA)
     sgy1 = jnp.sum(sgy1, axis=2, keepdims=True)

@@ -41,8 +41,17 @@ def text_embedding_path(dataset, variant):
 
 
 @functools.lru_cache(maxsize=None)
-def _load_npy(path):
+def _load_npy_versioned(path, mtime_ns, size):
+    del mtime_ns, size  # cache-key components only
     return np.load(path)
+
+
+def _load_npy(path):
+    # key the cache on (path, mtime, size): tools that regenerate an
+    # embedding file in-process (e.g. per-seed synthetic guidance text in
+    # tools/semi_effect_demo.py) must not read a stale cached copy
+    st = os.stat(path)
+    return _load_npy_versioned(path, st.st_mtime_ns, st.st_size)
 
 
 def load_text_embedding(path_or_name, dtype=np.float32):

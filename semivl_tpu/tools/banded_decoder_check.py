@@ -67,6 +67,13 @@ def main():
     parser.add_argument('--band-rows', type=int, default=0,
                         help='override band size (0 = auto)')
     parser.add_argument('--skip-parity', action='store_true')
+    parser.add_argument('--time-passes', action='store_true',
+                        help='attribute the banded backward cost to its '
+                             'three passes per stage (A / B / C via '
+                             'stop_after prefixes) — decides whether a '
+                             'forward-spilled-raws variant (killing pass '
+                             "A's conv recompute) could beat the XLA "
+                             'backward (VERDICT r3 #6)')
     args = parser.parse_args()
 
     import flax.linen as nn
@@ -149,6 +156,63 @@ def main():
     tbx = _time(gr_x, inputs, iters=args.iters)
     print(f'fwd      fused {tf * 1e3:8.2f} ms   xla {tx * 1e3:8.2f} ms')
     print(f'fwd+bwd  fused {tbf * 1e3:8.2f} ms   xla {tbx * 1e3:8.2f} ms')
+
+    if args.time_passes:
+        import functools
+
+        from semivl_tpu.ops import fused_decoder as fd
+        from semivl_tpu.ops.fused_decoder_banded import _stage_bwd_banded
+
+        cdt = storage or fd._CDT
+        t1a, t2a = fd._fwd_tap_lists(cin, cs1, cout1)
+        t1b, t2b = fd._fwd_tap_lists(cout1, cs2, cout2)
+        pw1 = fd._pack_stage_weights(p1, None, t1a, t2a, cdt)
+        pw2 = fd._pack_stage_weights(p2, head, t1b, t2b, cdt)
+        s1_ph = fd._deinterleave(skip1)
+        s2_ph = fd._deinterleave(skip2)
+        ho, res = fd._chain_fwd(False, cdt, x, s1_ph, s2_ph, pw1, pw2)
+        _, _, _, x2, _, _, st1, st2 = res
+        assert st1 is not None and st2 is not None, \
+            'geometry is not banded; --time-passes targets banded shapes'
+        g_ho = jnp.ones_like(ho)
+        g_c2 = fd._deinterleave(jnp.ones(x2.shape, x2.dtype))
+
+        def stage2(stop):
+            return _stage_bwd_banded(
+                x2, s2_ph, g_ho, st2, pw2['w1'], pw2['g1s'], pw2['g1b'],
+                pw2['w2'], pw2['g2s'], pw2['g2b'], pw2['wh'], pw2['hb'],
+                interpret=False, storage=cdt, stop_after=stop)
+
+        def stage1(stop):
+            return _stage_bwd_banded(
+                x, s1_ph, g_c2, st1, pw1['w1'], pw1['g1s'], pw1['g1b'],
+                pw1['w2'], pw1['g2s'], pw1['g2b'],
+                interpret=False, storage=cdt, stop_after=stop)
+
+        print('\nper-pass banded backward attribution (pass B = AB - A, '
+              'pass C = full - AB):')
+        passes = {}
+        for name, fn in (('stage1', stage1), ('stage2', stage2)):
+            times = {}
+            for stop in ('A', 'B', None):
+                j = jax.jit(functools.partial(fn, stop))
+                times[stop or 'full'] = _time(j, (), iters=args.iters) * 1e3
+            a, ab, full = times['A'], times['B'], times['full']
+            passes[name] = times
+            print(f'  {name}:  A {a:7.2f} ms   B {ab - a:7.2f} ms   '
+                  f'C {full - ab:7.2f} ms   full {full:7.2f} ms')
+        tot_full = sum(p['full'] for p in passes.values())
+        tot_a = sum(p['A'] for p in passes.values())
+        xla_bwd = (tbx - tx) * 1e3
+        print(f'  banded bwd total {tot_full:.2f} ms; minus pass A '
+              f'(the conv recompute a forward-spilled-raws variant would '
+              f'remove) {tot_full - tot_a:.2f} ms; XLA bwd {xla_bwd:.2f} '
+              'ms')
+        verdict = ('COULD WIN' if tot_full - tot_a < xla_bwd
+                   else 'CANNOT WIN')
+        print(f'  forward-spilled-raws bound: {verdict} '
+              '(B+C alone vs XLA backward)')
+
     print(f'devices: {jax.devices()}')
 
 

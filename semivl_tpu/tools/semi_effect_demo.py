@@ -146,7 +146,10 @@ def pretrain_guidance(out_root, size, n_pretrain=24, steps=160, seed=0):
     acc_loss = float(lv)
     print(f'[semi-effect] guidance pretrain final CE {acc_loss:.3f}')
 
-    text_path = os.path.join(out_root, 'guidance_text.npy')
+    # seed-qualified filenames: a constant path would hand every seed the
+    # FIRST seed's arrays through any path-keyed cache (and make runs
+    # racy if parallelised)
+    text_path = os.path.join(out_root, f'guidance_text_s{seed}.npy')
     np.save(text_path, text.astype(np.float16))
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     npz = {}
@@ -154,7 +157,7 @@ def pretrain_guidance(out_root, size, n_pretrain=24, steps=160, seed=0):
         key = 'clip_encoder/' + '/'.join(
             k.key for k in kp)
         npz[key] = np.asarray(leaf)
-    enc_path = os.path.join(out_root, 'guidance_encoder.npz')
+    enc_path = os.path.join(out_root, f'guidance_encoder_s{seed}.npz')
     np.savez(enc_path, **npz)
     return text_path, enc_path
 

@@ -358,6 +358,10 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
             loss_fn, has_aux=True)(state.params)
         grads = _pmean_trainable(grads['params'], trainable_mask)
         metrics = jax.lax.pmean(metrics, 'data')
+        if cfg.get('log_grad_norm'):
+            # global grad norm (post-pmean), for kernel A/B validation
+            # (tools/decoder_ab_check.py) and drift debugging
+            metrics['grad_norm'] = optax.global_norm(grads)
         if preempt_count is not None:
             metrics['preempt_count'] = preempt_count
 
@@ -419,6 +423,10 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
             loss_fn, has_aux=True)(state.params)
         grads = _pmean_trainable(grads['params'], trainable_mask)
         metrics = jax.lax.pmean(metrics, 'data')
+        if cfg.get('log_grad_norm'):
+            # global grad norm (post-pmean), for kernel A/B validation
+            # (tools/decoder_ab_check.py) and drift debugging
+            metrics['grad_norm'] = optax.global_norm(grads)
         if preempt_count is not None:
             metrics['preempt_count'] = preempt_count
         updates, new_opt_state = tx.update(grads, state.opt_state,

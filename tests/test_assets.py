@@ -99,3 +99,20 @@ def test_concept_aggregation_matches_loop(rng):
     for cls_i, conc_i in c2c.items():
         want[:, cls_i] = pred[:, conc_i].max(axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_npy_cache_invalidates_on_overwrite(tmp_path):
+    """_load_npy keys its cache on (path, mtime, size): a regenerated file
+    at the same path must be re-read (round-4 fix — a path-keyed lru_cache
+    silently served seed 0's guidance text to every later seed in
+    tools/semi_effect_demo.py)."""
+    p = str(tmp_path / 'emb.npy')
+    a = np.ones((3, 4), np.float16)
+    np.save(p, a)
+    first = load_text_embedding(p)
+    assert first.shape == (3, 4) and float(first[0, 0]) == 1.0
+    # overwrite with different contents; bump mtime past fs granularity
+    np.save(p, 2 * a)
+    os.utime(p, (os.path.getmtime(p) + 2, os.path.getmtime(p) + 2))
+    second = load_text_embedding(p)
+    assert float(second[0, 0]) == 2.0

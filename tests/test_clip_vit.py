@@ -290,3 +290,26 @@ def test_ln_stat_barrier_is_identity(rng):
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
     np.testing.assert_array_equal(np.asarray(a['global_emb']),
                                   np.asarray(b2['global_emb']))
+
+
+def test_gelu_barrier_is_identity(rng):
+    """gelu_barrier (optimization_barrier between fc1 and the erf GELU —
+    a TPU scheduling hint) must not change any output bit."""
+    import jax
+    out_indices = [LAYERS]
+    img = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+
+    def model(flag):
+        return MaskClipViT(
+            img_size=(IMG, IMG), patch_size=PATCH, embed_dims=EMB,
+            num_layers=LAYERS, num_heads=HEADS, mlp_ratio=4,
+            clip_dim=CLIP_DIM, out_indices=out_indices,
+            gelu_barrier=flag)
+
+    variables = model(False).init(jax.random.PRNGKey(0), img)
+    a = model(False).apply(variables, img)
+    b2 = model(True).apply(variables, img)
+    for ga, gb in zip(a['feats'], b2['feats']):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    np.testing.assert_array_equal(np.asarray(a['global_emb']),
+                                  np.asarray(b2['global_emb']))

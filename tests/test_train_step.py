@@ -44,7 +44,8 @@ def run_cfg(**over):
                            'ln': dict(decay_mult=0.),
                            'head': dict(lr_mult=10.),
                        })),
-        warmup_iters=0, warmup_ratio=1e-6)
+        warmup_iters=0, warmup_ratio=1e-6,
+        log_grad_norm=True)
     cfg.update(over)
     return cfg
 
@@ -110,8 +111,9 @@ def test_semivl_step(mesh, setup, rng):
     metrics = jax.tree.map(np.asarray, metrics)
 
     for k in ['loss_all', 'loss_x', 'loss_s1', 'loss_s2', 'loss_fp',
-              'loss_mc_s1', 'loss_mc_s2', 'loss_mc_fp']:
+              'loss_mc_s1', 'loss_mc_s2', 'loss_mc_fp', 'grad_norm']:
         assert k in metrics and np.isfinite(metrics[k]), (k, metrics.get(k))
+    assert float(metrics['grad_norm']) > 0
     assert int(new_state.step) == 1
 
     new_params = jax.tree.map(np.asarray, new_state.params['params'])
