@@ -20,6 +20,7 @@ import numpy as np
 
 from semivl_tpu.evaluation.metrics import intersection_and_union
 from semivl_tpu.ops.resize import _axis_weights
+from semivl_tpu.utils.nested import pad_image_to
 
 
 def _np_resize_bilinear(x, out_hw, align_corners):
@@ -265,9 +266,7 @@ class Evaluator:
         """
         if img_dev is None:
             hp, wp = canvas.shape[1:]
-            pad = np.zeros((1, hp, wp, 3), img.dtype)
-            pad[:, :img.shape[1], :img.shape[2]] = img
-            img_dev = jnp.asarray(pad)
+            img_dev = jnp.asarray(pad_image_to(img, hp, wp).data)
         n_real = len(coords)
         n = -(-n_real // self.world) * self.world
         coords = list(coords) + [(0, 0)] * (n - n_real)
@@ -435,9 +434,8 @@ class Evaluator:
             row += stride
         hp, wp = self._ceil128(h), self._ceil128(w)
         canvas = self._zeros((self.nclass, hp, wp))
-        pad = np.zeros((1, hp, wp, 3), img.dtype)
-        pad[:, :h, :w] = img
-        img_dev = jnp.asarray(pad)  # uploaded once, shared across groups
+        # uploaded once, shared across groups
+        img_dev = jnp.asarray(pad_image_to(img, hp, wp).data)
         for (ch, cw), coords in shapes.items():
             canvas = self._accumulate(canvas, img, coords, ch, cw,
                                       softmax=True, img_dev=img_dev)

@@ -50,7 +50,7 @@ def build_backbone(cfg, dtype):
                                cfg.get('ln_stat_barrier', 0)))),
             gelu_barrier=bool(int(
                 os.environ.get('SEMIVL_GELU_BARRIER',
-                               cfg.get('gelu_barrier', 0)))),
+                               cfg.get('gelu_barrier', 1)))),
             dtype=dtype)
     if kind == 'ResNetV1c':
         from semivl_tpu.models.resnet import ResNetV1c
@@ -105,6 +105,8 @@ def build_head(cfg, dtype):
             align_corners=cfg.get('align_corners', False),
             text_embedding_name=cfg.get('text_embedding_name', ''),
             decoder_kernel=cfg.get('decoder_kernel', 'xla'),
+            semantic_impl=os.environ.get(
+                'SEMIVL_SEMANTIC_IMPL', cfg.get('semantic_impl', 'einsum')),
             dtype=dtype)
     if kind == 'DLV3PHead':
         from semivl_tpu.models.dlv3p_head import DLV3PHead

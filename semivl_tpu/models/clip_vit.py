@@ -69,7 +69,9 @@ class MaskClipViT(nn.Module):
     ln_stat_barrier: bool = False
     # optimization_barrier between each ffn's fc1 GEMM and the erf GELU
     # (models/layers.py Mlp.gelu_barrier). Numerically identity; measured
-    # -19% on the stacked-block FORWARD (encoder_microbench barrier_gelu).
+    # -19% on the stacked-block FORWARD (encoder_microbench barrier_gelu)
+    # and +0.93 imgs/sec on the full step (round-4 A/B) — default ON
+    # (builder); env SEMIVL_GELU_BARRIER=0 disables.
     gelu_barrier: bool = False
     dtype: Any = jnp.float32
 

@@ -23,8 +23,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import functools
+
+import numpy as np
+
 from semivl_tpu.models.layers import TransformerBlock, l2_normalize
-from semivl_tpu.ops.resize import resize
+from semivl_tpu.ops.resize import _axis_weights, resize
+
+
+@functools.lru_cache(maxsize=64)
+def _pool_matrix(out_size, in_size, win):
+    """(out, in) matrix applying AvgPool1d(win, stride=win) — VALID
+    windows, tail rows dropped exactly as torch nn.AvgPool2d floor mode
+    (reference vlg_head.py:44 ``AdaptiveAvgPool`` is actually
+    ``nn.AvgPool2d(pool_size)``). Numpy (device array would leak across
+    jit scopes, same pattern as ops/resize._axis_weights)."""
+    w = np.zeros((out_size, in_size), np.float32)
+    for p in range(out_size):
+        w[p, p * win:(p + 1) * win] = 1.0 / win
+    return w
 from semivl_tpu.text.embeddings import (
     aggregate_concept_predictions,
     get_class_to_concept_idxs,
@@ -255,6 +272,13 @@ class SemanticTransformer(nn.Module):
     text_channels: int
     num_heads: int
     pool_size: Tuple[int, int] = (4, 4)
+    # 'einsum': pool/unpool as dot contractions against constant pooling/
+    # bilinear matrices, with the (B,N,hp,wp,C)<->(B,hp,wp,N,C) transposes
+    # folded INTO the dots (MXU work instead of reduce-window + 5D copy
+    # fusions — the round-3 trace showed this stage transpose/pool-bound
+    # at 4% MXU). 'window': the original nn.avg_pool + transpose + resize
+    # path, kept for A/B measurement.
+    impl: str = 'einsum'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -262,12 +286,20 @@ class SemanticTransformer(nn.Module):
         # x: (B, N, H, W, C) class-plane features; text_tokens: (B, N, Ct).
         b, n, h, w, c = x.shape
         ph, pw = self.pool_size
-        x_pool = nn.avg_pool(x.reshape(b * n, h, w, c), (ph, pw),
-                             strides=(ph, pw))
-        hp, wp = x_pool.shape[1:3]
-        # (B*hp*wp, N, C): sequence over classes at each pooled location.
-        tokens = (x_pool.reshape(b, n, hp, wp, c)
-                  .transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, n, c))
+        if self.impl == 'einsum':
+            hp, wp = h // ph, w // pw
+            p_h = jnp.asarray(_pool_matrix(hp, h, ph), x.dtype)
+            p_w = jnp.asarray(_pool_matrix(wp, w, pw), x.dtype)
+            # pool + layout change in one contraction pair
+            tokens = jnp.einsum('ph,qw,bnhwc->bpqnc', p_h, p_w, x)
+            tokens = tokens.reshape(b * hp * wp, n, c)
+        else:
+            x_pool = nn.avg_pool(x.reshape(b * n, h, w, c), (ph, pw),
+                                 strides=(ph, pw))
+            hp, wp = x_pool.shape[1:3]
+            # (B*hp*wp, N, C): sequence over classes at each pooled location
+            tokens = (x_pool.reshape(b, n, hp, wp, c)
+                      .transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, n, c))
         if text_tokens is not None:
             text = jnp.broadcast_to(
                 text_tokens[:, None, None],
@@ -282,6 +314,17 @@ class SemanticTransformer(nn.Module):
             norm_eps=1e-6, dtype=self.dtype, name='transformer')(tokens)
         tokens = tokens[..., :c]
         # unpool: bilinear align_corners=True back to (h, w), residual add.
+        if self.impl == 'einsum':
+            # same weight matrices resize() would use, applied with the
+            # un-transpose folded into the contraction; fp32 like resize()
+            u_h = jnp.asarray(_axis_weights(h, hp, 'bilinear', True,
+                                            'float32'))
+            u_w = jnp.asarray(_axis_weights(w, wp, 'bilinear', True,
+                                            'float32'))
+            t5 = tokens.reshape(b, hp, wp, n, c).astype(jnp.float32)
+            y = jnp.einsum('hp,wq,bpqnc->bnhwc', u_h, u_w, t5,
+                           precision='highest')
+            return x + y.astype(x.dtype)
         y = (tokens.reshape(b, hp, wp, n, c).transpose(0, 3, 1, 2, 4)
              .reshape(b * n, hp, wp, c))
         y = resize(y, (h, w), mode='bilinear', align_corners=True)
@@ -310,6 +353,7 @@ class VLGHead(nn.Module):
     # (teacher pass, eval) and gates on the smaller forward-kernel VMEM
     # footprint. Param tree is identical either way.
     decoder_kernel: str = 'xla'
+    semantic_impl: str = 'einsum'  # see SemanticTransformer.impl
     dtype: Dtype = jnp.float32
 
     def fused_decoder_ok(self, h, w):
@@ -377,7 +421,8 @@ class VLGHead(nn.Module):
             x = SemanticTransformer(
                 channels=self.channels, text_channels=self.text_channels,
                 num_heads=self.num_heads, pool_size=self.pool_size,
-                dtype=self.dtype, name=f'layers_{i}')(x, text_tokens)
+                impl=self.semantic_impl, dtype=self.dtype,
+                name=f'layers_{i}')(x, text_tokens)
 
         # 4. skip projections + upsampling (233-239)
         projected_skips = []

@@ -265,3 +265,36 @@ def test_vlg_head_concept_aggregation(rng):
     changed = np.abs(out2 - out).max(axis=(0, 2, 3)) > 1e-6
     cls_of_5 = [c for c, idxs in c2c.items() if 5 in idxs]
     assert changed[cls_of_5].any() or not changed.any()
+
+
+@pytest.mark.parametrize('hw', [(8, 8), (13, 11)])
+def test_semantic_impl_equivalence(rng, hw):
+    """'einsum' (pool/unpool as dot contractions, transposes folded in)
+    must match the original 'window' path — incl. non-divisible pooled
+    geometry (Cityscapes 801-crop gives 51x51 -> 12x12 with a dropped
+    tail, reference nn.AvgPool2d floor mode)."""
+    import jax
+
+    from semivl_tpu.models.vlg_head import SemanticTransformer
+    h, w = hw
+    b, n, c, ct = 2, 5, 32, 16
+    x = jnp.asarray(rng.randn(b, n, h, w, c), jnp.float32)
+    text = jnp.asarray(rng.randn(b, n, ct), jnp.float32)
+
+    def make(impl):
+        return SemanticTransformer(channels=c, text_channels=ct,
+                                   num_heads=4, impl=impl)
+
+    variables = make('window').init(jax.random.PRNGKey(0), x, text)
+    a = make('window').apply(variables, x, text)
+    b2 = make('einsum').apply(variables, x, text)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients agree too
+    ga = jax.grad(lambda v: jnp.sum(make('window').apply(v, x, text) ** 2))(
+        variables)
+    gb = jax.grad(lambda v: jnp.sum(make('einsum').apply(v, x, text) ** 2))(
+        variables)
+    jax.tree.map(lambda p, q: np.testing.assert_allclose(
+        np.asarray(p), np.asarray(q), rtol=3e-4, atol=3e-4), ga, gb)
