@@ -147,3 +147,18 @@ def test_code_archive(tmp_path):
     assert any(n.endswith('semivl_tpu/models/vlm.py') for n in names)
     # the bundled data assets (splits .txt etc.) are excluded
     assert not any(n.startswith('semivl_tpu/assets') for n in names)
+
+
+def test_pseudo_label_quality_smoke(tmp_path):
+    """run_seed returns the per-branch precision/coverage structure with
+    finite teacher stats and in-range coverages (fast: tiny warmup)."""
+    from semivl_tpu.tools.pseudo_label_quality import THRESHOLDS, run_seed
+    res = run_seed(str(tmp_path), seed=0, warmup_steps=4)
+    for branch in ('teacher', 'mcc', 'teacher_unseen', 'mcc_unseen'):
+        assert set(res[branch]) == set(THRESHOLDS)
+    prec0, cov0 = res['teacher'][0.0]
+    assert np.isfinite(prec0) and cov0 == 1.0
+    # coverage is non-increasing in threshold
+    covs = [res['mcc'][t][1] for t in THRESHOLDS]
+    assert all(b <= a + 1e-6 for a, b in zip(covs, covs[1:]))
+    assert 0.0 < res['chance'] < 1.0
