@@ -91,6 +91,32 @@ class Evaluator:
     def update_params(self, params):
         self.params = params
 
+    def use_device(self, img, mode):
+        """Whether ``mode`` on this geometry runs the device-side canvas
+        path (see predict() for the small-image zegclip exception)."""
+        if not self.device_accumulate:
+            return False
+        if mode == 'zegclip_sliding_window':
+            return min(img.shape[1:3]) >= self.cfg.get('crop_size', 0)
+        return mode == 'sliding_window'
+
+    def preupload(self, img):
+        """Upload a (1, H, W, 3) host image padded to its canvas bucket.
+
+        Called from the evaluate() prefetch thread so the host->device
+        transfer of image i+1 overlaps image i's window compute; the
+        result feeds predict()/predict_hist() as ``img_dev``."""
+        hp, wp = self._ceil128(img.shape[1]), self._ceil128(img.shape[2])
+        return jnp.asarray(pad_image_to(img, hp, wp).data)
+
+    def preupload_mask(self, mask):
+        """Upload an (H, W) label map padded with ignore (255) to the
+        finalize-output bucket, for device-side histogram computation."""
+        h, w = mask.shape
+        buf = np.full((self._ceil128(h), self._ceil128(w)), 255, np.uint8)
+        buf[:h, :w] = mask
+        return jnp.asarray(buf)
+
     @staticmethod
     def _to_model_input(x):
         """uint8 transport: normalise on device (data/transforms.normalize
@@ -306,15 +332,76 @@ class Evaluator:
                 donate_argnums=(0,))
         return self._jit_cache[key](canvas)
 
+    def _hist(self, pred_dev, mask_dev):
+        """Device-side intersection/union/target histograms of a padded
+        uint8 prediction vs a 255-padded uint8 label map — the exact
+        integer counts of ``metrics.intersection_and_union`` (reference
+        third_party/unimatch/util/utils.py:91-103), computed on device so
+        only a (3, C) int32 crosses the device->host link instead of the
+        full argmax canvas."""
+        key = ('hist', pred_dev.shape, mask_dev.shape)
+        if key not in self._jit_cache:
+            nclass = self.nclass
+
+            def fn(pred, mask):
+                pred = pred.astype(jnp.int32).ravel()
+                mask = mask.astype(jnp.int32).ravel()
+                valid = mask != 255
+                inter_src = jnp.where((pred == mask) & valid, pred, nclass)
+                predm = jnp.where(valid, pred, nclass)
+                maskm = jnp.where(valid, mask, nclass)
+                ai = jnp.bincount(inter_src, length=nclass + 1)[:nclass]
+                ap = jnp.bincount(predm, length=nclass + 1)[:nclass]
+                at = jnp.bincount(maskm, length=nclass + 1)[:nclass]
+                return jnp.stack([ai, ap + at - ai, at]).astype(jnp.int32)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](pred_dev, mask_dev)
+
+    class HistDeferred:
+        """Un-fetched device (3, C) histogram (intersection, union,
+        target); .get() pays the (tiny) device->host transfer."""
+
+        def __init__(self, value):
+            self._value = value
+
+        def get(self):
+            return np.asarray(self._value).astype(np.int64)
+
+    def predict_hist(self, img, mask, mode, img_dev=None, mask_dev=None):
+        """Device-resident predict + metric histograms for one image.
+
+        Returns a ``HistDeferred`` whose .get() yields the (3, C) counts,
+        or None when this mode/geometry requires the host path (caller
+        falls back to predict() + host metrics). Pass pre-uploaded
+        ``img_dev``/``mask_dev`` (see preupload/preupload_mask) to overlap
+        the uploads with earlier images' compute."""
+        if not self.use_device(img, mode):
+            return None
+        if mode == 'zegclip_sliding_window':
+            dev, _ = self._zegclip_sliding_device(img, mask.shape,
+                                                  img_dev=img_dev)
+        elif mode == 'sliding_window':
+            dev, _ = self._sliding_device(img, mask.shape, img_dev=img_dev)
+        else:
+            return None
+        if mask_dev is None:
+            mask_dev = self.preupload_mask(mask)
+        assert mask_dev.shape == dev._value.shape, (mask_dev.shape,
+                                                    dev._value.shape)
+        return self.HistDeferred(self._hist(dev._value, mask_dev))
+
     # ---- predict modes (reference supervised.py:40-132) ----
 
     def predict(self, img, mask_shape, mode, return_logits=False,
-                defer=False):
+                defer=False, img_dev=None):
         """img: (1, H, W, 3) numpy. Returns (1, h_mask, w_mask) int preds;
         with ``return_logits`` also the accumulated score map (reference
         supervised.py:129-132 / eval.py:47). With ``defer=True`` returns a
         ``Deferred`` whose .get() yields the prediction — fetch it after
-        dispatching the next image to overlap transfers."""
+        dispatching the next image to overlap transfers. ``img_dev``: a
+        pre-uploaded padded device image (see preupload), used by the
+        device-canvas modes only."""
         crop = self.cfg.get('crop_size', 0)
         if img.dtype == np.uint8 and mode == 'padded_sliding_window':
             # This mode zero-pads crops, and must pad in *normalised*
@@ -324,21 +411,20 @@ class Evaluator:
             # exact zeros and _to_model_input passes floats through.
             from semivl_tpu.data import transforms as T
             img = T.normalize(img[0])[None]
-        device = self.device_accumulate and not return_logits
-        if mode == 'zegclip_sliding_window' and min(img.shape[1:3]) < crop:
-            # Image smaller than the crop: the reference feeds the crop at
-            # its natural clipped size (supervised.py:77-87 never pads) —
-            # only the host path reproduces that; the device path slices
-            # fixed (crop, crop) windows (and would zero-pad the model
-            # input, changing logits near the short edge). Shipped
-            # configs never hit this (VOC val is min-512 resized).
-            device = False
+        # Small-image zegclip routes to the host path: the reference feeds
+        # the crop at its natural clipped size (supervised.py:77-87 never
+        # pads) — the device path slices fixed (crop, crop) windows (and
+        # would zero-pad the model input, changing logits near the short
+        # edge). Shipped configs never hit this (VOC val is min-512
+        # resized). use_device() encodes the guard.
+        device = self.use_device(img, mode) and not return_logits
         if mode == 'zegclip_sliding_window':
-            out = (self._zegclip_sliding_device(img, mask_shape) if device
-                   else self._zegclip_sliding(img, mask_shape))
+            out = (self._zegclip_sliding_device(img, mask_shape,
+                                                img_dev=img_dev)
+                   if device else self._zegclip_sliding(img, mask_shape))
         elif mode == 'sliding_window':
-            out = (self._sliding_device(img, mask_shape) if device
-                   else self._sliding(img, mask_shape))
+            out = (self._sliding_device(img, mask_shape, img_dev=img_dev)
+                   if device else self._sliding(img, mask_shape))
         elif mode == 'padded_sliding_window':
             out = self._padded_sliding(img, mask_shape)
         elif mode in ('original', 'center_crop'):
@@ -377,7 +463,7 @@ class Evaluator:
                 coords.append((max(y1, 0), max(x1, 0)))
         return coords
 
-    def _zegclip_sliding_device(self, img, mask_shape):
+    def _zegclip_sliding_device(self, img, mask_shape, img_dev=None):
         """Device-side variant of ``_zegclip_sliding``: same math, but the
         canvas accumulation, count division, bilinear resize and argmax all
         run on device; only a (Ho, Wo) uint8 map is transferred."""
@@ -387,7 +473,7 @@ class Evaluator:
         hp, wp = self._ceil128(h_img), self._ceil128(w_img)
         canvas = self._zeros((self.nclass, hp, wp))
         canvas = self._accumulate(canvas, img, coords, crop, crop,
-                                  softmax=False)
+                                  softmax=False, img_dev=img_dev)
 
         h_m, w_m = mask_shape
         ckey = ('fin_consts', h_img, w_img, h_m, w_m)
@@ -414,7 +500,7 @@ class Evaluator:
         dev = self._finalize_resize_argmax(canvas, inv_count, wh, ww)
         return self.Deferred(dev, (h_m, w_m)), None
 
-    def _sliding_device(self, img, mask_shape):
+    def _sliding_device(self, img, mask_shape, img_dev=None):
         """Device-side variant of ``_sliding`` (Cityscapes softmax-sum):
         per-shape crop groups scatter softmax probs into the canvas; only
         the uint8 argmax map is transferred."""
@@ -434,8 +520,8 @@ class Evaluator:
             row += stride
         hp, wp = self._ceil128(h), self._ceil128(w)
         canvas = self._zeros((self.nclass, hp, wp))
-        # uploaded once, shared across groups
-        img_dev = jnp.asarray(pad_image_to(img, hp, wp).data)
+        if img_dev is None:  # uploaded once, shared across groups
+            img_dev = jnp.asarray(pad_image_to(img, hp, wp).data)
         for (ch, cw), coords in shapes.items():
             canvas = self._accumulate(canvas, img, coords, ch, cw,
                                       softmax=True, img_dev=img_dev)
@@ -519,8 +605,13 @@ class Evaluator:
 
 def _flush_pending(pending, inter_sum, union_sum, cfg, progress):
     deferred, mask, i = pending
-    pred = deferred.get()
-    inter, union, _ = intersection_and_union(pred[0], mask, cfg['nclass'])
+    if mask is None:  # device-side histograms: fetch the (3, C) counts
+        hist = deferred.get()
+        inter, union = hist[0], hist[1]
+    else:
+        pred = deferred.get()
+        inter, union, _ = intersection_and_union(pred[0], mask,
+                                                 cfg['nclass'])
     inter_sum += inter
     union_sum += union
     if progress is not None:
@@ -537,19 +628,28 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
     XLA-collective equivalent of the reference's ``dist.all_reduce``
     (supervised.py:154-156). ``indices`` restricts to an explicit subset
     (smoke tests).
+
+    Host-side work is pipelined two ways beyond the reference's serial
+    loop: a prefetch thread decodes and pre-uploads image i+1 (and its
+    label map) while image i's windows compute, and on the device-canvas
+    modes the intersection/union histograms are computed ON DEVICE
+    (``eval_device_metrics``, default on) so only (3, C) ints cross the
+    device->host link per image instead of the argmax canvas.
     """
     assert mode in ('original', 'center_crop', 'padded_sliding_window',
                     'zegclip_sliding_window', 'sliding_window')
     inter_sum = np.zeros(cfg['nclass'], np.float64)
     union_sum = np.zeros(cfg['nclass'], np.float64)
     if indices is not None:
-        idxs = indices
+        idxs = list(indices)
     elif process_count > 1:
-        idxs = range(process_index, len(dataset), process_count)
+        idxs = list(range(process_index, len(dataset), process_count))
     else:
-        idxs = range(len(dataset))
-    pending = None  # (deferred pred, mask, idx): fetched one image late
-    for i in idxs:
+        idxs = list(range(len(dataset)))
+    dev_metrics = bool(cfg.get('eval_device_metrics', True))
+    use_prefetch = bool(cfg.get('eval_prefetch', True)) and len(idxs) > 1
+
+    def load(i):
         sample = dataset.get(i)
         img = sample['img'][None]
         mask = sample['mask']
@@ -559,12 +659,44 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
             sh = (mask.shape[0] - size) // 2
             sw = (mask.shape[1] - size) // 2
             mask = mask[sh:sh + size, sw:sw + size]
-        deferred = evaluator.predict(img, mask.shape, mode, defer=True)
+        img_dev = mask_dev = None
+        if evaluator.use_device(img, mode):
+            img_dev = evaluator.preupload(img)
+            if dev_metrics:
+                mask_dev = evaluator.preupload_mask(mask)
+        return img, mask, img_dev, mask_dev
+
+    executor = None
+    if use_prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+        executor = ThreadPoolExecutor(1, thread_name_prefix='eval_prefetch')
+    try:
+        fut = executor.submit(load, idxs[0]) if executor else None
+        pending = None  # (deferred, mask-or-None, idx): fetched 1 img late
+        for j, i in enumerate(idxs):
+            img, mask, img_dev, mask_dev = (fut.result() if executor
+                                            else load(i))
+            if executor and j + 1 < len(idxs):
+                fut = executor.submit(load, idxs[j + 1])
+            item = None
+            if mask_dev is not None:
+                hist = evaluator.predict_hist(img, mask, mode,
+                                              img_dev=img_dev,
+                                              mask_dev=mask_dev)
+                if hist is not None:
+                    item = (hist, None, i)
+            if item is None:
+                deferred = evaluator.predict(img, mask.shape, mode,
+                                             defer=True, img_dev=img_dev)
+                item = (deferred, mask, i)
+            if pending is not None:
+                _flush_pending(pending, inter_sum, union_sum, cfg, progress)
+            pending = item
         if pending is not None:
             _flush_pending(pending, inter_sum, union_sum, cfg, progress)
-        pending = (deferred, mask, i)
-    if pending is not None:
-        _flush_pending(pending, inter_sum, union_sum, cfg, progress)
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=False)
     if process_count > 1:
         from jax.experimental import multihost_utils
         local = np.stack([inter_sum, union_sum])

@@ -118,6 +118,53 @@ def test_device_accumulate_matches_host(tiny_eval, mode, rng):
 
 
 @pytest.mark.slow
+def test_device_hist_matches_numpy(tiny_eval, rng):
+    """The on-device histogram must reproduce intersection_and_union's
+    integer counts exactly, including ignore (255) and padding handling."""
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    h, w = 97, 111
+    pred = rng.randint(0, 21, (h, w)).astype(np.uint8)
+    mask = rng.randint(0, 21, (h, w)).astype(np.uint8)
+    mask[:5] = 255  # ignore rows
+    # padded device layout: pred padding is arbitrary (argmax of zeros),
+    # mask padding is 255 so it never counts
+    pred_pad = np.zeros((128, 128), np.uint8)
+    pred_pad[:h, :w] = pred
+    mask_dev = ev.preupload_mask(mask)
+    hist = np.asarray(ev._hist(jnp.asarray(pred_pad), mask_dev))
+    inter, union, target = intersection_and_union(pred, mask, 21)
+    np.testing.assert_array_equal(hist[0], inter)
+    np.testing.assert_array_equal(hist[1], union)
+    np.testing.assert_array_equal(hist[2], target)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('mode', ['zegclip_sliding_window',
+                                  'sliding_window'])
+def test_evaluate_device_metrics_matches_host(tiny_eval, mode):
+    """evaluate() with on-device histograms + prefetch thread must produce
+    the identical mIoU/per-class IoU as the host-metrics loop."""
+    import os
+    from semivl_tpu.data.dataset import SemiDataset
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    cfg['stride'] = 48
+    ds = SemiDataset(cfg, 'val',
+                     id_path=os.path.join(root, 'splits', 'val.txt'))
+    ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
+    cfg_dev = dict(cfg, eval_device_metrics=True, eval_prefetch=True)
+    cfg_host = dict(cfg, eval_device_metrics=False, eval_prefetch=False)
+    miou_dev, iou_dev = evaluate(ev, ds, mode, cfg_dev)
+    miou_host, iou_host = evaluate(ev, ds, mode, cfg_host)
+    assert miou_dev == pytest.approx(miou_host, abs=1e-9)
+    np.testing.assert_allclose(iou_dev, iou_host, atol=1e-9)
+
+
+@pytest.mark.slow
 def test_zegclip_window_count(tiny_eval):
     """Window grid matches the reference formula (supervised.py:74-75)."""
     root, bundle, params = tiny_eval
