@@ -108,3 +108,96 @@ def test_fullscale_flagship_logit_parity():
         f'mean abs {mean_err:.3e}, logit scale {scale:.3f}')
     print(f'FULLSCALE-PARITY max_abs={max_err:.3e} mean_abs={mean_err:.3e} '
           f'scale={scale:.3f}')
+
+
+@pytest.mark.slow
+def test_fullscale_stress_statistics_parity():
+    """Full-scale parity under CLIP-like weight pathologies.
+
+    Real CLIP ViT weights carry outlier channels (a handful of embedding
+    dims with 10-30x the typical magnitude) and large position-embedding
+    values — exactly the statistics that stress accumulated-fp paths
+    (VERDICT r3 weak #5; the real-weight rerun stays artifact-gated,
+    PARITY.md). This variant injects those pathologies into the torch
+    replica before conversion: 8 outlier embedding channels scaled 25x in
+    every residual-writing projection (attention out_proj, fc2), the
+    position embedding scaled 8x, and log-normal spread on the final LN
+    gain. fp32 parity must hold at the same tolerance as the clean test.
+    """
+    torch.manual_seed(1)
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, IMG, IMG, 3).astype(np.float32) * 0.5
+    text = load_text_embedding('voc12_wbg_single').astype(np.float32)
+
+    with _dims(tcv, EMB=EMB, HEADS=HEADS, LAYERS=LAYERS, PATCH=PATCH,
+               CLIP_DIM=CLIP_DIM, IMG=IMG):
+        tvit = tcv.TorchViT(OUT_INDICES).eval()
+        with torch.no_grad():
+            for p in tvit.parameters():
+                p.mul_(0.05 if p.ndim >= 2 else 1.0)
+            outlier = torch.from_numpy(
+                rng.choice(EMB, 8, replace=False)).long()
+            for blk in tvit.blocks:
+                # rows of out_proj / fc2 write the residual stream: scale
+                # the outlier embedding dims 25x (CLIP-style outliers)
+                blk.attn.out_proj.weight[outlier] *= 25.0
+                blk.fc2.weight[outlier] *= 25.0
+            tvit.pos_embed.mul_(8.0)
+            tvit.ln1f.weight.mul_(torch.from_numpy(np.exp(
+                rng.randn(EMB).astype(np.float32) * 0.5)))
+        vit_params = tcv._torch_to_flax(tvit)['params']
+        with torch.no_grad():
+            t_feats, _ = tvit(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+
+    with _dims(tvh, CH=CH, TXT_CH=TXT_CH, TXT_IN=CLIP_DIM, HEADS=4,
+               UP=UP, SKIP_IN=SKIP_IN, SKIP_CH=SKIP_CH, N_CLS=N_CLS,
+               B=1, H=IMG // PATCH, IMG=IMG, POOL=(4, 4), K1=7):
+        tvlg = tvh.TorchVLG().eval()
+        with torch.no_grad():
+            for p in tvlg.parameters():
+                p.mul_(0.2 if p.ndim >= 2 else 1.0)
+        vlg_params = tvh._convert(tvlg)['params']
+        with torch.no_grad():
+            want = tvlg([f.permute(0, 3, 1, 2) if f.ndim == 4 else f
+                         for f in t_feats],
+                        torch.from_numpy(text)).numpy()
+
+    backbone_cfg = dict(
+        type='MaskClipVisionTransformer', img_size=[IMG, IMG],
+        patch_size=PATCH, embed_dims=EMB, num_layers=LAYERS,
+        num_heads=HEADS, out_indices=OUT_INDICES, clip_dim=CLIP_DIM)
+    head_cfg = dict(
+        type='VLGHead', img_size=IMG, num_classes=N_CLS,
+        text_in_channels=CLIP_DIM, text_channels=TXT_CH, up_channels=UP,
+        skip_in_channels=SKIP_IN, skip_channels=SKIP_CH, num_layers=2,
+        num_heads=4, channels=CH, pool_size=(4, 4), conv1_ksize=7,
+        align_corners=False, text_embedding_name='')
+    module = VLM(backbone_cfg=backbone_cfg, decode_head_cfg=head_cfg)
+    params = {'params': {'backbone': vit_params,
+                         'decode_head': vlg_params}}
+    got = np.asarray(module.apply(params, jnp.asarray(img),
+                                  jnp.asarray(text)))
+
+    scale = np.abs(want).max()
+    max_err = np.abs(got - want).max()
+    mean_err = np.abs(got - want).mean()
+    assert max_err < 2e-3 * max(scale, 1.0) and mean_err < 2e-4 * max(
+        scale, 1.0), (
+        f'stress-statistics logit mismatch: max abs {max_err:.3e}, '
+        f'mean abs {mean_err:.3e}, logit scale {scale:.3f}')
+    print(f'STRESS-PARITY max_abs={max_err:.3e} mean_abs={mean_err:.3e} '
+          f'scale={scale:.3f}')
+
+    # bf16 sensitivity under outlier statistics: diagnostic bound only
+    # (real-weight mIoU parity remains the artifact-gated check)
+    module_bf16 = VLM(backbone_cfg=backbone_cfg, decode_head_cfg=head_cfg,
+                      dtype=jnp.bfloat16)
+    got16 = np.asarray(module_bf16.apply(
+        params, jnp.asarray(img), jnp.asarray(text))).astype(np.float32)
+    dev = np.abs(got16 - want)
+    print(f'STRESS-BF16 max_abs={dev.max():.3e} mean_abs={dev.mean():.3e} '
+          f'scale={scale:.3f}')
+    assert np.isfinite(got16).all()
+    assert dev.mean() < 0.05 * max(scale, 1.0), (
+        f'bf16 deviation blow-up under outlier stats: mean {dev.mean():.3e}'
+        f' vs scale {scale:.3f}')
