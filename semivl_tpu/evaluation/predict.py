@@ -332,18 +332,24 @@ class Evaluator:
                 donate_argnums=(0,))
         return self._jit_cache[key](canvas)
 
-    def _hist(self, pred_dev, mask_dev):
+    def _hist(self, pred_dev, mask_dev, acc=None):
         """Device-side intersection/union/target histograms of a padded
         uint8 prediction vs a 255-padded uint8 label map — the exact
         integer counts of ``metrics.intersection_and_union`` (reference
         third_party/unimatch/util/utils.py:91-103), computed on device so
         only a (3, C) int32 crosses the device->host link instead of the
-        full argmax canvas."""
-        key = ('hist', pred_dev.shape, mask_dev.shape)
+        full argmax canvas.
+
+        With ``acc`` (a device (3, C) int32 buffer), the counts are ADDED
+        into it on device (buffer donated) and the running sum is returned
+        un-fetched — evaluate() accumulates across images this way so no
+        device->host transfer happens per image at all (the dev-harness
+        relay charges a multi-ms round trip even for a 252-byte fetch)."""
+        key = ('hist', pred_dev.shape, mask_dev.shape, acc is not None)
         if key not in self._jit_cache:
             nclass = self.nclass
 
-            def fn(pred, mask):
+            def counts(pred, mask):
                 pred = pred.astype(jnp.int32).ravel()
                 mask = mask.astype(jnp.int32).ravel()
                 valid = mask != 255
@@ -355,8 +361,15 @@ class Evaluator:
                 at = jnp.bincount(maskm, length=nclass + 1)[:nclass]
                 return jnp.stack([ai, ap + at - ai, at]).astype(jnp.int32)
 
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key](pred_dev, mask_dev)
+            if acc is None:
+                self._jit_cache[key] = jax.jit(counts)
+            else:
+                self._jit_cache[key] = jax.jit(
+                    lambda pred, mask, a: a + counts(pred, mask),
+                    donate_argnums=(2,))
+        if acc is None:
+            return self._jit_cache[key](pred_dev, mask_dev)
+        return self._jit_cache[key](pred_dev, mask_dev, acc)
 
     class HistDeferred:
         """Un-fetched device (3, C) histogram (intersection, union,
@@ -390,6 +403,40 @@ class Evaluator:
         assert mask_dev.shape == dev._value.shape, (mask_dev.shape,
                                                     dev._value.shape)
         return self.HistDeferred(self._hist(dev._value, mask_dev))
+
+    def zero_hist(self):
+        """Fresh device (3, C) int32 zero accumulator for ``_hist`` acc."""
+        key = ('zero_hist',)
+        if key not in self._jit_cache:
+            nclass = self.nclass
+            self._jit_cache[key] = jax.jit(
+                lambda: jnp.zeros((3, nclass), jnp.int32))
+        return self._jit_cache[key]()
+
+    def predict_hist_into(self, acc, img, mask, mode, img_dev=None,
+                          mask_dev=None):
+        """Device-resident predict + histogram ACCUMULATED into ``acc``.
+
+        Returns the updated device accumulator (``acc`` is donated), or
+        None when this mode/geometry requires the host path — the caller
+        falls back to predict() + host metrics and ``acc`` is untouched.
+        Zero bytes cross the device->host link per image; evaluate()
+        fetches the running (3, C) sum once per flush window.
+        """
+        if not self.use_device(img, mode):
+            return None
+        if mode == 'zegclip_sliding_window':
+            dev, _ = self._zegclip_sliding_device(img, mask.shape,
+                                                  img_dev=img_dev)
+        elif mode == 'sliding_window':
+            dev, _ = self._sliding_device(img, mask.shape, img_dev=img_dev)
+        else:
+            return None
+        if mask_dev is None:
+            mask_dev = self.preupload_mask(mask)
+        assert mask_dev.shape == dev._value.shape, (mask_dev.shape,
+                                                    dev._value.shape)
+        return self._hist(dev._value, mask_dev, acc=acc)
 
     # ---- predict modes (reference supervised.py:40-132) ----
 
@@ -633,8 +680,12 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
     loop: a prefetch thread decodes and pre-uploads image i+1 (and its
     label map) while image i's windows compute, and on the device-canvas
     modes the intersection/union histograms are computed ON DEVICE
-    (``eval_device_metrics``, default on) so only (3, C) ints cross the
-    device->host link per image instead of the argmax canvas.
+    (``eval_device_metrics``, default on) and ACCUMULATED there in a
+    donated (3, C) int32 buffer, fetched once per
+    ``eval_hist_flush_every`` images (default 256 — conservatively below
+    the ~1000-image int32-overflow bound at 1024x2048 Cityscapes
+    geometry), so steady-state eval performs zero per-image device->host
+    transfers.
     """
     assert mode in ('original', 'center_crop', 'padded_sliding_window',
                     'zegclip_sliding_window', 'sliding_window')
@@ -670,30 +721,51 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
     if use_prefetch:
         from concurrent.futures import ThreadPoolExecutor
         executor = ThreadPoolExecutor(1, thread_name_prefix='eval_prefetch')
+    flush_every = max(1, int(cfg.get('eval_hist_flush_every', 256)))
+    hist_acc = None  # device (3, C) int32 running sum, fetched per flush
+    acc_images = 0
+
+    def flush_acc():
+        nonlocal hist_acc, acc_images
+        if hist_acc is None:
+            return
+        counts = np.asarray(hist_acc).astype(np.int64)
+        inter_sum[:] = inter_sum + counts[0]
+        union_sum[:] = union_sum + counts[1]
+        hist_acc = None
+        acc_images = 0
+
     try:
         fut = executor.submit(load, idxs[0]) if executor else None
-        pending = None  # (deferred, mask-or-None, idx): fetched 1 img late
+        pending = None  # (deferred, mask, idx): host path, fetched 1 late
         for j, i in enumerate(idxs):
             img, mask, img_dev, mask_dev = (fut.result() if executor
                                             else load(i))
             if executor and j + 1 < len(idxs):
                 fut = executor.submit(load, idxs[j + 1])
-            item = None
+            acc = None
             if mask_dev is not None:
-                hist = evaluator.predict_hist(img, mask, mode,
-                                              img_dev=img_dev,
-                                              mask_dev=mask_dev)
-                if hist is not None:
-                    item = (hist, None, i)
-            if item is None:
+                acc = evaluator.predict_hist_into(
+                    hist_acc if hist_acc is not None
+                    else evaluator.zero_hist(),
+                    img, mask, mode, img_dev=img_dev, mask_dev=mask_dev)
+            if acc is not None:
+                hist_acc = acc
+                acc_images += 1
+                if acc_images >= flush_every:
+                    flush_acc()
+                if progress is not None:
+                    progress(i)
+            else:
                 deferred = evaluator.predict(img, mask.shape, mode,
                                              defer=True, img_dev=img_dev)
-                item = (deferred, mask, i)
-            if pending is not None:
-                _flush_pending(pending, inter_sum, union_sum, cfg, progress)
-            pending = item
+                if pending is not None:
+                    _flush_pending(pending, inter_sum, union_sum, cfg,
+                                   progress)
+                pending = (deferred, mask, i)
         if pending is not None:
             _flush_pending(pending, inter_sum, union_sum, cfg, progress)
+        flush_acc()
     finally:
         if executor is not None:
             executor.shutdown(wait=False)

@@ -156,7 +156,10 @@ def test_evaluate_device_metrics_matches_host(tiny_eval, mode):
     ds = SemiDataset(cfg, 'val',
                      id_path=os.path.join(root, 'splits', 'val.txt'))
     ev = Evaluator(bundle.module, params, bundle.text_feats, cfg)
-    cfg_dev = dict(cfg, eval_device_metrics=True, eval_prefetch=True)
+    # flush_every=2 exercises mid-run accumulator fetch+reset on the
+    # (len>2) synthetic val split, plus the final partial flush
+    cfg_dev = dict(cfg, eval_device_metrics=True, eval_prefetch=True,
+                   eval_hist_flush_every=2)
     cfg_host = dict(cfg, eval_device_metrics=False, eval_prefetch=False)
     miou_dev, iou_dev = evaluate(ev, ds, mode, cfg_dev)
     miou_host, iou_host = evaluate(ev, ds, mode, cfg_host)
