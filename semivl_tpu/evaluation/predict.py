@@ -275,10 +275,20 @@ class Evaluator:
                                           valid, canvas.shape)
 
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(2,))
+        # Window coordinates repeat for every image of a geometry; cache
+        # the device arrays so the steady-state loop issues zero small
+        # host->device transfers per image (the relay prices every
+        # transfer a round trip, however small).
+        ckey = ('coords', tuple(ys), tuple(xs), tuple(valid))
+        if ckey not in self._const_cache:
+            if len(self._const_cache) > 64:
+                self._const_cache.clear()
+            self._const_cache[ckey] = (jnp.asarray(ys, jnp.int32),
+                                       jnp.asarray(xs, jnp.int32),
+                                       jnp.asarray(valid, jnp.float32))
+        ys_dev, xs_dev, va_dev = self._const_cache[ckey]
         return self._jit_cache[key](
-            self.params, self.text, canvas, img_dev,
-            jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
-            jnp.asarray(valid, jnp.float32))
+            self.params, self.text, canvas, img_dev, ys_dev, xs_dev, va_dev)
 
     def _accumulate(self, canvas, img, coords, ch, cw, softmax,
                     img_dev=None):

@@ -325,10 +325,21 @@ def _packed_plan(seq_len, backward):
     return l_pad, 64
 
 
-def _packed_fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub):
+def _packed_fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub,
+                       l_real=None):
     seq = len_ref[0]
     kv_k = k_ref[0]                                  # (L_pad, 128): 2 heads
     kv_v = v_ref[0]
+    if l_real is not None and l_real < kv_v.shape[0]:
+        # Partial-block mode: the (L_pad, 128) block extends past the
+        # unpadded array's L rows; Mosaic's out-of-bounds read contents
+        # are unspecified. Zero the V tail so p @ v (p is exactly 0 on
+        # masked columns, but 0 * NaN = NaN in a dot) matches the
+        # jnp.pad path bit for bit. K needs no zeroing: its garbage
+        # columns only reach the softmax through scores that the
+        # kidx < seq where() replaces before any reduction.
+        vidx = jax.lax.broadcasted_iota(jnp.int32, kv_v.shape, 0)
+        kv_v = jnp.where(vidx < l_real, kv_v, 0)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (sub, kv_k.shape[0]), 1)
     chains = []
     for hh in range(2):
@@ -355,7 +366,8 @@ def _packed_fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sub):
 
 
 def _packed_bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
-                       dq_ref, dk_ref, dv_ref, *, scale, sub):
+                       dq_ref, dk_ref, dv_ref, *, scale, sub,
+                       l_real=None):
     i = pl.program_id(2)
     seq = len_ref[0]
 
@@ -366,6 +378,28 @@ def _packed_bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
 
     kv_k = k_ref[0]                                  # (L_pad, 128)
     kv_v = v_ref[0]
+    bq = sub * _PACKED_NS
+    partial = l_real is not None and l_real < kv_v.shape[0]  # static
+    if partial:
+        # See _packed_fwd_kernel: zero the V tail (0 * garbage = NaN in
+        # dp's dot otherwise). Unlike the forward, K must be zeroed here
+        # too: dq = ds @ kk contracts over L, and ds's exactly-zero tail
+        # columns still multiply kk's garbage tail rows inside the dot.
+        vidx = jax.lax.broadcasted_iota(jnp.int32, kv_v.shape, 0)
+        kv_v = jnp.where(vidx < l_real, kv_v, 0)
+        kv_k = jnp.where(vidx < l_real, kv_k, 0)
+    # Partial q blocks: rows >= l_real read unspecified data. Unlike the
+    # forward (where garbage q rows only corrupt their own, OOB-masked,
+    # output rows), dk/dv CONTRACT OVER ROWS — the tail rows' math must
+    # reduce to the zeros the jnp.pad path supplies. Zeroing q and g
+    # plus masking ds rows makes every tail contribution exactly zero:
+    # dv = p^T @ g has g tail rows = 0 with p finite (zeroed q -> s row
+    # 0 -> uniform p), and ds (which can still go NaN through delta's
+    # g*o product reading garbage o) is where()-selected to 0 before it
+    # reaches dq/dk. The row offset i*bq is traced; the mask predicate
+    # itself is applied for every block in partial mode (a no-op where
+    # the block is fully in range).
+    row0 = i * bq
     kidx = jax.lax.broadcasted_iota(jnp.int32, (sub, kv_k.shape[0]), 1)
     stage1 = []
     for hh in range(2):
@@ -376,6 +410,11 @@ def _packed_bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
             rows = slice(j * sub, (j + 1) * sub)
             q = q_ref[0][rows, lo:hi]
             g = g_ref[0][rows, lo:hi]
+            if partial:
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (sub, 64), 0) + (row0 + j * sub)
+                q = jnp.where(ridx < l_real, q, 0)
+                g = jnp.where(ridx < l_real, g, 0)
             qs = q * jnp.asarray(scale, q.dtype)
             s = jax.lax.dot_general(qs, kk, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -393,6 +432,10 @@ def _packed_bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
         delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
                         axis=-1, keepdims=True)
         ds = p * (dp - delta)
+        if partial:
+            rvec = jax.lax.broadcasted_iota(
+                jnp.int32, (ds.shape[0], 1), 0) + (row0 + j * sub)
+            ds = jnp.where(rvec < l_real, ds, 0)
         stage2.append((hh, j, q, g, p, ds))
     accs = {}
     for hh, j, q, g, p, ds in stage2:
@@ -424,6 +467,17 @@ def _packed_pad(x, l_pad):
     return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
 
 
+def _partial_blocks_enabled():
+    """Partial-block mode: feed the packed kernels UNPADDED (B, L, C)
+    operands with BlockSpecs still sized L_pad (Mosaic masks the
+    out-of-bounds block tails; the kernels zero/mask what garbage reads
+    could reach — see _packed_fwd_kernel/_packed_bwd_kernel). Skips the
+    3-4 materialised (B, L_pad, C) pad copies per layer call and the
+    unpad slices on every output (the step trace attributes ~22 ms/step
+    at flagship shapes to exactly these copies)."""
+    return os.environ.get('SEMIVL_FLASH_PARTIAL', '0') == '1'
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _packed_attention(q, k, v, num_heads, interpret, valid_len):
     out, _ = _packed_attention_fwd(q, k, v, num_heads, interpret, valid_len)
@@ -433,9 +487,15 @@ def _packed_attention(q, k, v, num_heads, interpret, valid_len):
 def _packed_attention_fwd_impl(q, k, v, num_heads, interpret, valid_len):
     b, l, c = q.shape
     l_pad, bq = _packed_plan(l, backward=False)
-    qp = _packed_pad(q, l_pad)
-    kp = _packed_pad(k, l_pad)
-    vp = _packed_pad(v, l_pad)
+    partial = _partial_blocks_enabled() and l_pad != l
+    if partial:
+        qp, kp, vp = q, k, v
+        l_real, out_l = l, l
+    else:
+        qp = _packed_pad(q, l_pad)
+        kp = _packed_pad(k, l_pad)
+        vp = _packed_pad(v, l_pad)
+        l_real, out_l = None, l_pad
     lengths = jnp.full((1,), valid_len, jnp.int32)
     scale = (c // num_heads) ** -0.5
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -449,9 +509,9 @@ def _packed_attention_fwd_impl(q, k, v, num_heads, interpret, valid_len):
         out_specs=pl.BlockSpec((1, bq, 128), lambda b, h, i, *_: (b, i, h)))
     out_p = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale,
-                          sub=bq // _PACKED_NS),
+                          sub=bq // _PACKED_NS, l_real=l_real),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, l_pad, c), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, out_l, c), q.dtype),
         interpret=interpret,
     )(lengths, qp, kp, vp)
     return out_p, (qp, kp, vp)
@@ -480,9 +540,17 @@ def _packed_attention_bwd(num_heads, interpret, valid_len, residuals, g):
                     .transpose(0, 2, 1, 3).reshape(b, l, c))
         _, vjp = jax.vjp(ref, qp[:, :l], kp[:, :l], vp[:, :l])
         return vjp(g)
-    bq_plan_l, bq = _packed_plan(l, backward=True)
-    assert bq_plan_l == l_pad, (bq_plan_l, l_pad)
-    gp = _packed_pad(g, l_pad)
+    l_pad_plan, bq = _packed_plan(l, backward=True)
+    partial = l_pad != l_pad_plan  # residuals unpadded => partial mode
+    if partial:
+        assert l_pad == l, (l_pad, l)
+        l_pad = l_pad_plan
+        gp = g
+        l_real, out_l = l, l
+    else:
+        assert l_pad_plan == l_pad, (l_pad_plan, l_pad)
+        gp = _packed_pad(g, l_pad)
+        l_real, out_l = None, l_pad
     lengths = jnp.full((1,), valid_len, jnp.int32)
     scale = (c // num_heads) ** -0.5
     blocked = pl.BlockSpec((1, bq, 128), lambda b, h, i, *_: (b, i, h))
@@ -494,16 +562,21 @@ def _packed_attention_bwd(num_heads, interpret, valid_len, residuals, g):
         out_specs=[blocked, full, full])
     dq, dk, dv = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, scale=scale,
-                          sub=bq // _PACKED_NS),
+                          sub=bq // _PACKED_NS, l_real=l_real),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, l_pad, c), qp.dtype),
-            jax.ShapeDtypeStruct((b, l_pad, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, l_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_l, c), qp.dtype),
+            jax.ShapeDtypeStruct((b, out_l, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_l, c), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            # partial mode's K/V tail-zeroing where()s stage two extra
+            # (L_pad, 128) stack buffers (~17 MB total at L=1025,
+            # bq=576) — just over the 16 MB default scoped cap; same
+            # relief as the stats-saving fused decoder forward
+            vmem_limit_bytes=18 * 1024 * 1024 if partial else None),
     )(lengths, qp, kp, vp, out_p, gp)
     return (dq[:, :l], dk[:, :l].astype(qp.dtype),
             dv[:, :l].astype(qp.dtype))

@@ -61,6 +61,41 @@ def test_packed_flash_matches_xla(rng, shape):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize('shape', [
+    (2, 100, 128, 2),   # off-block length -> genuinely partial blocks
+    (2, 70, 128, 2),
+    (1, 128, 256, 4),   # exact block -> partial mode is a no-op
+])
+def test_packed_partial_blocks_match_padded(rng, shape, monkeypatch):
+    """SEMIVL_FLASH_PARTIAL=1 (unpadded kernel operands, in-kernel tail
+    masking) must reproduce the jnp.pad path exactly — forward AND all
+    three input gradients. Interpret mode fills out-of-bounds block reads
+    with garbage, so this also proves the masking neutralises arbitrary
+    pad contents, not just zeros."""
+    b, l, c, h = shape
+    q = jnp.asarray(rng.randn(b, l, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, c), jnp.float32)
+
+    def run():
+        def loss(q, k, v):
+            return jnp.sum(flash_mha(q, k, v, h, interpret=True) ** 2)
+
+        out = flash_mha(q, k, v, h, interpret=True)
+        return out, jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.delenv('SEMIVL_FLASH_PARTIAL', raising=False)
+    out_pad, g_pad = run()
+    monkeypatch.setenv('SEMIVL_FLASH_PARTIAL', '1')
+    out_part, g_part = run()
+    np.testing.assert_allclose(np.asarray(out_part), np.asarray(out_pad),
+                               rtol=1e-6, atol=1e-6)
+    for gp, gq in zip(g_part, g_pad):
+        assert np.isfinite(np.asarray(gp)).all()
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gq),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_packed_flash_gradients_match(rng):
     b, l, c, h = 2, 70, 128, 2   # d=64 -> packed kernels, padded length
     q = jnp.asarray(rng.randn(b, l, c), jnp.float32)
