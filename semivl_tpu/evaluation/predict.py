@@ -83,6 +83,8 @@ class Evaluator:
         # ARGUMENTS and canvas/output shapes are padded to buckets, so jit
         # specialisations don't multiply with image shapes.
         self.device_accumulate = bool(cfg.get('eval_device_accumulate', True))
+        # exact-byte flat uploads + on-device unpack (see preupload)
+        self.flat_upload = bool(cfg.get('eval_flat_upload', True))
         self._jit_cache = {}
         # device-resident constants (resize weights, inverse-count maps)
         # keyed by image/mask geometry — repeated shapes skip the upload
@@ -100,6 +102,30 @@ class Evaluator:
             return min(img.shape[1:3]) >= self.cfg.get('crop_size', 0)
         return mode == 'sliding_window'
 
+    # Flat exact-byte uploads: the host->device link charges per byte
+    # (on this dev harness's tunnel relay the marginal rate is ~50 MB/s
+    # once compute is in flight; on a real host PCIe still charges per
+    # byte), and bucket padding inflates a 512x683 VOC val image by ~25%.
+    # Upload the RAW bytes (padded only to a 64 KB quantum so unpack
+    # programs don't specialise per exact image shape) and rebuild the
+    # bucket-padded buffer on device: rows are gathered at traced
+    # ``y * w`` byte offsets, so one program per (quantum, bucket) pair
+    # serves every image geometry that lands in it.
+    _FLAT_QUANTUM = 65536
+
+    def _flat_pad(self, arr):
+        flat = np.ascontiguousarray(arr).reshape(-1)
+        lq = -(-flat.nbytes // self._FLAT_QUANTUM) * self._FLAT_QUANTUM
+        if lq != flat.size:
+            flat = np.concatenate([flat, np.zeros(lq - flat.size, np.uint8)])
+        return flat
+
+    def _const_i32(self, v):
+        key = ('i32', int(v))
+        if key not in self._const_cache:
+            self._const_cache[key] = jnp.asarray(int(v), jnp.int32)
+        return self._const_cache[key]
+
     def preupload(self, img):
         """Upload a (1, H, W, 3) host image padded to its canvas bucket.
 
@@ -107,15 +133,50 @@ class Evaluator:
         transfer of image i+1 overlaps image i's window compute; the
         result feeds predict()/predict_hist() as ``img_dev``."""
         hp, wp = self._ceil128(img.shape[1]), self._ceil128(img.shape[2])
-        return jnp.asarray(pad_image_to(img, hp, wp).data)
+        if not self.flat_upload or img.dtype != np.uint8:
+            return jnp.asarray(pad_image_to(img, hp, wp).data)
+        h, w = img.shape[1:3]
+        flat = self._flat_pad(img.astype(np.uint8, copy=False))
+        key = ('unpack_img', flat.size, hp, wp)
+        if key not in self._jit_cache:
+            def unpack(flat, w3):
+                ys = jnp.arange(hp, dtype=jnp.int32)
+                rows = jax.vmap(lambda y: jax.lax.dynamic_slice(
+                    flat, (y * w3,), (wp * 3,)))(ys)
+                # rows >= h / cols >= w hold neighbouring-row garbage; the
+                # window slices in _acc_group are clipped inside (h, w)
+                # (see _zegclip_coords) so the pad region is never read.
+                return rows.reshape(1, hp, wp, 3)
+
+            self._jit_cache[key] = jax.jit(unpack)
+        return self._jit_cache[key](jnp.asarray(flat), self._const_i32(w * 3))
 
     def preupload_mask(self, mask):
         """Upload an (H, W) label map padded with ignore (255) to the
         finalize-output bucket, for device-side histogram computation."""
         h, w = mask.shape
-        buf = np.full((self._ceil128(h), self._ceil128(w)), 255, np.uint8)
-        buf[:h, :w] = mask
-        return jnp.asarray(buf)
+        hp, wp = self._ceil128(h), self._ceil128(w)
+        if not self.flat_upload:
+            buf = np.full((hp, wp), 255, np.uint8)
+            buf[:h, :w] = mask
+            return jnp.asarray(buf)
+        # class ids fit uint8 on every supported dataset (<= 150, ignore
+        # 255); the histogram consumes the map as integers either way
+        flat = self._flat_pad(mask.astype(np.uint8))
+        key = ('unpack_mask', flat.size, hp, wp)
+        if key not in self._jit_cache:
+            def unpack(flat, wv, hv):
+                ys = jnp.arange(hp, dtype=jnp.int32)
+                rows = jax.vmap(lambda y: jax.lax.dynamic_slice(
+                    flat, (y * wv,), (wp,)))(ys)
+                valid = ((ys[:, None] < hv)
+                         & (jnp.arange(wp, dtype=jnp.int32)[None, :] < wv))
+                # the hist program reads every pixel: pad must be exact 255
+                return jnp.where(valid, rows, jnp.uint8(255))
+
+            self._jit_cache[key] = jax.jit(unpack)
+        return self._jit_cache[key](jnp.asarray(flat), self._const_i32(w),
+                                    self._const_i32(h))
 
     @staticmethod
     def _to_model_input(x):
@@ -301,8 +362,7 @@ class Evaluator:
         (masked-out) crops.
         """
         if img_dev is None:
-            hp, wp = canvas.shape[1:]
-            img_dev = jnp.asarray(pad_image_to(img, hp, wp).data)
+            img_dev = self.preupload(img)
         n_real = len(coords)
         n = -(-n_real // self.world) * self.world
         coords = list(coords) + [(0, 0)] * (n - n_real)
@@ -360,16 +420,26 @@ class Evaluator:
             nclass = self.nclass
 
             def counts(pred, mask):
+                # jnp.bincount lowers to a serial scatter-add on TPU
+                # (measured 3.4 ms per call on a 640x768 map — more than
+                # the model forward). A compare-vs-iota reduce fuses into
+                # one memory-bound pass instead: histogram[c] = sum over
+                # pixels of (src == c), with invalid pixels routed to a
+                # dropped overflow bin exactly like the bincount version.
                 pred = pred.astype(jnp.int32).ravel()
                 mask = mask.astype(jnp.int32).ravel()
                 valid = mask != 255
                 inter_src = jnp.where((pred == mask) & valid, pred, nclass)
                 predm = jnp.where(valid, pred, nclass)
                 maskm = jnp.where(valid, mask, nclass)
-                ai = jnp.bincount(inter_src, length=nclass + 1)[:nclass]
-                ap = jnp.bincount(predm, length=nclass + 1)[:nclass]
-                at = jnp.bincount(maskm, length=nclass + 1)[:nclass]
-                return jnp.stack([ai, ap + at - ai, at]).astype(jnp.int32)
+                classes = jnp.arange(nclass, dtype=jnp.int32)
+
+                def hist(src):
+                    return jnp.sum(src[:, None] == classes[None, :],
+                                   axis=0, dtype=jnp.int32)
+
+                ai, ap, at = hist(inter_src), hist(predm), hist(maskm)
+                return jnp.stack([ai, ap + at - ai, at])
 
             if acc is None:
                 self._jit_cache[key] = jax.jit(counts)
@@ -578,7 +648,7 @@ class Evaluator:
         hp, wp = self._ceil128(h), self._ceil128(w)
         canvas = self._zeros((self.nclass, hp, wp))
         if img_dev is None:  # uploaded once, shared across groups
-            img_dev = jnp.asarray(pad_image_to(img, hp, wp).data)
+            img_dev = self.preupload(img)
         for (ch, cw), coords in shapes.items():
             canvas = self._accumulate(canvas, img, coords, ch, cw,
                                       softmax=True, img_dev=img_dev)

@@ -298,3 +298,33 @@ def test_zegclip_small_image_device_falls_back_to_host(tiny_eval, rng):
     pred_host = ev_host.predict(img, mask_shape, 'zegclip_sliding_window')
     assert pred_dev.shape == (1,) + mask_shape
     np.testing.assert_array_equal(pred_dev, pred_host)
+
+
+def test_flat_preupload_matches_padded(tiny_eval, rng):
+    """Exact-byte flat uploads + on-device unpack must reproduce the
+    host-padded buffers: image bytes identical in the valid region (the
+    bucket pad is never read — window coords are clipped inside the
+    image), mask buffers identical everywhere (the histogram reads every
+    pixel, so pad must be exact 255)."""
+    root, bundle, params = tiny_eval
+    cfg = synth_cfg(root, crop_size=64)
+    cfg['nclass'] = 21
+    ev_flat = Evaluator(bundle.module, params, bundle.text_feats,
+                        dict(cfg, eval_flat_upload=True))
+    ev_pad = Evaluator(bundle.module, params, bundle.text_feats,
+                       dict(cfg, eval_flat_upload=False))
+    for h, w in [(97, 111), (128, 128), (106, 117), (513, 129)]:
+        img = rng.randint(0, 256, (1, h, w, 3)).astype(np.uint8)
+        a = np.asarray(ev_flat.preupload(img))
+        b = np.asarray(ev_pad.preupload(img))
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(a[:, :h, :w], b[:, :h, :w])
+        mask = rng.randint(0, 21, (h, w)).astype(np.int32)
+        mask[0, :5] = 255
+        ma = np.asarray(ev_flat.preupload_mask(mask))
+        mb = np.asarray(ev_pad.preupload_mask(mask))
+        np.testing.assert_array_equal(ma, mb)
+    # non-uint8 images fall back to the padded path
+    fimg = rng.randn(1, 97, 111, 3).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(ev_flat.preupload(fimg)),
+                                  np.asarray(ev_pad.preupload(fimg)))
