@@ -38,19 +38,28 @@ def mh_data(tmp_path_factory):
 
 
 def _launch(run_dir, data_root, port, preempt_at_step=None):
-    os.makedirs(run_dir, exist_ok=True)
+    # gloo's TCP connect window (~30 s) occasionally times out on a
+    # loaded CI host before all 4 processes reach their first
+    # collective. The failure happens before (straight run) or is made
+    # harmless by (resume is bit-exact from whatever 'latest' exists)
+    # any state mutation, so retry on a fresh port up to 2 extra times.
     env = {**os.environ, 'JAX_PLATFORMS': 'cpu',
            'PYTHONPATH': REPO + os.pathsep + os.environ.get('PYTHONPATH', '')}
     env.pop('XLA_FLAGS', None)  # worker sets its own device count
-    procs = []
-    for i in range(NPROC):
-        cmd = [sys.executable, WORKER, '--process-id', str(i),
-               '--num-processes', str(NPROC), '--port', str(port),
-               '--run-dir', run_dir, '--data-root', data_root]
-        if preempt_at_step is not None:
-            cmd += ['--preempt-at-step', str(preempt_at_step)]
-        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO))
-    rcs = [p.wait(timeout=1200) for p in procs]
+    for attempt in range(3):
+        os.makedirs(run_dir, exist_ok=True)
+        procs = []
+        for i in range(NPROC):
+            cmd = [sys.executable, WORKER, '--process-id', str(i),
+                   '--num-processes', str(NPROC),
+                   '--port', str(port + 100 * attempt),
+                   '--run-dir', run_dir, '--data-root', data_root]
+            if preempt_at_step is not None:
+                cmd += ['--preempt-at-step', str(preempt_at_step)]
+            procs.append(subprocess.Popen(cmd, env=env, cwd=REPO))
+        rcs = [p.wait(timeout=1200) for p in procs]
+        if all(rc == 0 for rc in rcs):
+            return
     assert all(rc == 0 for rc in rcs), rcs
 
 
