@@ -22,9 +22,16 @@ import time
 
 import numpy as np
 
-# docs/reference_denominator.md — imgs/sec per A100 GPU, PyTorch reference
-REFERENCE_A100_IMGS_PER_SEC = float(
-    os.environ.get('SEMIVL_BASELINE_IMGS_PER_SEC', 5.8))
+def reference_a100_imgs_per_sec(dataset):
+    """Per-geometry A100 proxy of the PyTorch reference, mid scenario
+    (docs/reference_denominator.md + tools/reference_denominator.py).
+    Env SEMIVL_BASELINE_IMGS_PER_SEC overrides when a real measurement
+    exists."""
+    env = os.environ.get('SEMIVL_BASELINE_IMGS_PER_SEC')
+    if env is not None:
+        return float(env)
+    from semivl_tpu.tools.reference_denominator import denominators
+    return denominators(dataset)['mid']
 
 
 def main():
@@ -44,15 +51,21 @@ def main():
                         help="'eval' benchmarks zegclip sliding-window "
                              'inference FPS instead of the train step')
     parser.add_argument('--dataset', default='pascal',
-                        choices=['pascal', 'coco', 'ade'],
+                        choices=['pascal', 'coco', 'ade', 'cityscapes'],
                         help='flagship config per dataset; coco/ade use the '
                              'large-vocabulary N=81/150 text guidance at '
-                             "the reference's bs1 (experiments.py:373-424)")
+                             "the reference's bs1 (experiments.py:373-424); "
+                             'cityscapes runs the skr04 conv-encoder model '
+                             'at 801^2 bs1 (experiments.py:428-456)')
     args = parser.parse_args()
     if args.dataset != 'pascal':
-        # reference trains COCO/ADE at batch 1/GPU (experiments.py:385,413)
+        # reference trains COCO/ADE/Cityscapes at batch 1/GPU
+        # (experiments.py:385,413,441)
         if args.batch_size == parser.get_default('batch_size'):
             args.batch_size = 1
+        if args.dataset == 'cityscapes' and \
+                args.crop == parser.get_default('crop'):
+            args.crop = 801
 
     from semivl_tpu.ops.attention import set_default_impl
     set_default_impl(args.attention)
@@ -153,7 +166,8 @@ def main():
         'value': round(imgs_per_sec_per_chip, 3),
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(
-            imgs_per_sec_per_chip / REFERENCE_A100_IMGS_PER_SEC, 3),
+            imgs_per_sec_per_chip
+            / reference_a100_imgs_per_sec(args.dataset), 3),
     }))
 
 

@@ -22,9 +22,19 @@ import json
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--batch-size', type=int, default=2)
-    parser.add_argument('--crop', type=int, default=512)
+    parser.add_argument('--batch-size', type=int, default=None,
+                        help='default: the reference per-GPU batch for the '
+                             'dataset (pascal 2, others 1)')
+    parser.add_argument('--crop', type=int, default=None,
+                        help='default: the reference crop for the dataset '
+                             '(cityscapes 801, others 512)')
+    parser.add_argument('--dataset', default='pascal',
+                        choices=['pascal', 'coco', 'ade', 'cityscapes'])
     args = parser.parse_args()
+    if args.crop is None:
+        args.crop = 801 if args.dataset == 'cityscapes' else 512
+    if args.batch_size is None:
+        args.batch_size = 2 if args.dataset == 'pascal' else 1
 
     import os
     os.environ.setdefault('JAX_PLATFORMS', 'cpu')
@@ -40,7 +50,7 @@ def main():
         TrainState, make_semivl_train_step, replicate, shard_batch)
 
     crop, bs = args.crop, args.batch_size
-    cfg = _flagship_cfg(crop_size=crop)
+    cfg = _flagship_cfg(crop_size=crop, dataset=args.dataset)
     cfg['batch_size'] = bs
     bundle = build_model(cfg, dtype=jnp.bfloat16)
 
@@ -82,6 +92,7 @@ def main():
     flops = float(cost.get('flops', 0.0))
     imgs = 2 * bs  # labeled + unlabeled per iteration (the bench unit)
     print(json.dumps({
+        'dataset': args.dataset,
         'crop': crop,
         'batch_per_chip': bs,
         'flops_per_iter': flops,

@@ -15,6 +15,7 @@ tests/multihost_train_worker.py, and checks:
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -27,6 +28,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, 'tests', 'multihost_train_worker.py')
 NPROC = 4
 
+# Signatures of the known-benign launch flake: gloo's ~30 s TCP connect
+# window (or the jax.distributed coordination handshake) timing out on a
+# loaded CI host before the first collective. Retries are gated on these
+# so a genuinely intermittent multi-host bug still fails the test.
+_CONNECT_FLAKE_SIGNATURES = (
+    'connectFullMesh',
+    'Timed out waiting for connection',
+    'Gloo connect',
+    'connect timed out',
+    'DEADLINE_EXCEEDED',
+    'failed to connect to coordination service',
+    'Coordination service is not enabled',
+    'UNAVAILABLE: failed to connect',
+)
+
+
+def _is_connect_flake(log_text):
+    """True iff worker output matches the gloo/coordination connect-timeout
+    signature — the only failure class the retry loop is allowed to mask."""
+    return any(sig in log_text for sig in _CONNECT_FLAKE_SIGNATURES)
+
 
 @pytest.fixture(scope='module')
 def mh_data(tmp_path_factory):
@@ -37,30 +59,68 @@ def mh_data(tmp_path_factory):
     return root
 
 
-def _launch(run_dir, data_root, port, preempt_at_step=None):
-    # gloo's TCP connect window (~30 s) occasionally times out on a
-    # loaded CI host before all 4 processes reach their first
-    # collective. The failure happens before (straight run) or is made
-    # harmless by (resume is bit-exact from whatever 'latest' exists)
-    # any state mutation, so retry on a fresh port up to 2 extra times.
+def _launch(run_dir, data_root, port, preempt_at_step=None, fresh=True):
+    """Launch the 4-process run; retry ONLY on the connect-timeout flake.
+
+    ``fresh=True`` wipes ``run_dir`` before every attempt so a retried
+    'straight' run stays genuinely uninterrupted (never a silent
+    resume-from-latest) and a retried preempt run re-injects its
+    preemption (loop.py fires on exact ``cur_step == preempt_at_step``).
+    Resume launches pass ``fresh=False`` and must keep the checkpoint.
+    """
     env = {**os.environ, 'JAX_PLATFORMS': 'cpu',
            'PYTHONPATH': REPO + os.pathsep + os.environ.get('PYTHONPATH', '')}
     env.pop('XLA_FLAGS', None)  # worker sets its own device count
+    log_dir = run_dir.rstrip(os.sep) + '.logs'
+    os.makedirs(log_dir, exist_ok=True)
+    all_rcs = []
     for attempt in range(3):
+        if fresh and os.path.isdir(run_dir):
+            shutil.rmtree(run_dir)
         os.makedirs(run_dir, exist_ok=True)
-        procs = []
+        procs, logs = [], []
         for i in range(NPROC):
+            log = open(os.path.join(
+                log_dir, f'worker{i}.attempt{attempt}.log'), 'w+')
             cmd = [sys.executable, WORKER, '--process-id', str(i),
                    '--num-processes', str(NPROC),
                    '--port', str(port + 100 * attempt),
                    '--run-dir', run_dir, '--data-root', data_root]
             if preempt_at_step is not None:
                 cmd += ['--preempt-at-step', str(preempt_at_step)]
-            procs.append(subprocess.Popen(cmd, env=env, cwd=REPO))
-        rcs = [p.wait(timeout=1200) for p in procs]
+            procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                          stdout=log,
+                                          stderr=subprocess.STDOUT))
+            logs.append(log)
+        try:
+            rcs = [p.wait(timeout=1200) for p in procs]
+        finally:
+            # a hung worker must not leak (it would hold the port) —
+            # kill anything still running before re-raising/retrying
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for p in procs:
+                if p.poll() is None:
+                    p.wait(timeout=60)
+        all_rcs.append(rcs)
+        text = ''
+        for log in logs:
+            log.flush()
+            log.seek(0)
+            text += log.read()
+            log.close()
         if all(rc == 0 for rc in rcs):
             return
-    assert all(rc == 0 for rc in rcs), rcs
+        if not _is_connect_flake(text):
+            break  # real failure — surface it on the first attempt
+        sys.stderr.write(
+            f'[test_multihost] connect-timeout flake on attempt {attempt} '
+            f'(rcs={rcs}); retrying on a fresh port\n')
+    tail = text[-4000:]
+    raise AssertionError(
+        f'multihost launch failed; rcs per attempt: {all_rcs}\n'
+        f'--- last attempt worker output (tail) ---\n{tail}')
 
 
 def _load_raw(run_dir, name='latest'):
@@ -70,6 +130,24 @@ def _load_raw(run_dir, name='latest'):
     with open(path + '.extra.json') as f:
         extra = json.load(f)
     return tree, extra
+
+
+def test_retry_gate_rejects_non_flake_failures():
+    """The retry loop may only mask the connect-timeout flake: a generic
+    crash (assert, shape error, NaN) must NOT match the signature set."""
+    assert not _is_connect_flake('')
+    assert not _is_connect_flake(
+        'Traceback (most recent call last):\n'
+        '  File "worker.py", line 10, in <module>\n'
+        'AssertionError: params diverged at step 3\n')
+    assert not _is_connect_flake(
+        'jaxlib.xla_extension.XlaRuntimeError: INVALID_ARGUMENT: '
+        'Incompatible shapes')
+    # the benign class is matched
+    assert _is_connect_flake(
+        'RuntimeError: [enforce fail at tcp.cc] connectFullMesh failed')
+    assert _is_connect_flake(
+        'DEADLINE_EXCEEDED: Barrier timed out. Barrier_id: init')
 
 
 @pytest.mark.slow
@@ -90,8 +168,9 @@ def test_4proc_preempt_consensus_and_exact_resume(mh_data, tmp_path):
     assert extra_b['epoch'] == 0.0
     assert extra_b['epoch_step'] == float(stopped_at)
 
-    # resume all four hosts to completion
-    _launch(d_preempt, mh_data, port=29643)
+    # resume all four hosts to completion (fresh=False: keep the
+    # checkpoint; a retried resume is safe — bit-exact from 'latest')
+    _launch(d_preempt, mh_data, port=29643, fresh=False)
     tree_b, extra_b = _load_raw(d_preempt)
     assert int(np.asarray(tree_b['step'])) == 12
     assert extra_a == extra_b

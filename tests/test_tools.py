@@ -162,3 +162,37 @@ def test_pseudo_label_quality_smoke(tmp_path):
     covs = [res['mcc'][t][1] for t in THRESHOLDS]
     assert all(b <= a + 1e-6 for a, b in zip(covs, covs[1:]))
     assert 0.0 < res['chance'] < 1.0
+
+
+def test_per_geometry_denominators():
+    """tools/reference_denominator: the VOC mid scenario must reproduce the
+    adopted 5.8 imgs/sec/A100 denominator (docs/reference_denominator.md),
+    and every geometry yields a sane ordered bracket."""
+    from semivl_tpu.tools.reference_denominator import (
+        GEOMETRIES, denominators)
+    voc = denominators('pascal')
+    assert abs(voc['mid'] - 5.8) < 0.15, voc
+    assert abs(voc['generous'] - 9.6) < 0.5, voc
+    for ds in GEOMETRIES:
+        r = denominators(ds)
+        assert r['conservative'] < r['mid'] < r['generous'], r
+        # analytic encoder formula reproduces the 222 GF/img figure at 512
+        if r['crop'] == 512:
+            from semivl_tpu.tools.reference_denominator import (
+                encoder_fwd_gflop_per_img)
+            assert abs(encoder_fwd_gflop_per_img(512) - 222) < 5
+
+
+def test_cutmix_interaction_smoke(tmp_path):
+    """pseudo_label_quality's cutmix section: the bit-exact label-path
+    identity holds and the loss-share structure is well-formed."""
+    from semivl_tpu.tools.pseudo_label_quality import THRESHOLDS, run_seed
+    res = run_seed(str(tmp_path), seed=0, warmup_steps=4)
+    cm = res['cutmix']
+    assert cm['identity_ok']
+    assert set(cm['region_prec']) == {'inside', 'boundary', 'outside'}
+    for t in THRESHOLDS:
+        assert 0.0 <= cm['loss_share'][t]['kept_frac'] <= 1.0
+    # kept_frac non-increasing in threshold
+    ks = [cm['loss_share'][t]['kept_frac'] for t in THRESHOLDS]
+    assert all(b <= a + 1e-6 for a, b in zip(ks, ks[1:]))
