@@ -198,13 +198,17 @@ def _bench_eval(args, cfg, bundle):
     # resize (uint8 transport, on-device normalisation — the val-loader
     # default). Benchmarked through the REAL evaluate() loop: prefetch
     # thread, device canvas accumulation, on-device mIoU histograms.
+    if args.dataset == 'cityscapes':
+        mode, ihw, mhw = 'sliding_window', (1024, 2048), (1024, 2048)
+    else:
+        mode, ihw, mhw = 'zegclip_sliding_window', (512, 683), (500, 667)
+
     class _SynthVal:
         def __init__(self, n):
             self.n = n
-            self.imgs = [rs.randint(0, 256, (512, 683, 3)).astype(np.uint8)
+            self.imgs = [rs.randint(0, 256, ihw + (3,)).astype(np.uint8)
                          for _ in range(4)]
-            self.mask = rs.randint(0, cfg['nclass'],
-                                   (500, 667)).astype(np.uint8)
+            self.mask = rs.randint(0, cfg['nclass'], mhw).astype(np.uint8)
 
         def __len__(self):
             return self.n
@@ -215,9 +219,9 @@ def _bench_eval(args, cfg, bundle):
     from semivl_tpu.evaluation.predict import evaluate
     n = args.steps
     ds = _SynthVal(n)
-    evaluate(ev, ds, 'zegclip_sliding_window', cfg, indices=[0, 1])  # warm
+    evaluate(ev, ds, mode, cfg, indices=[0, 1])  # warm
     t0 = time.perf_counter()
-    evaluate(ev, ds, 'zegclip_sliding_window', cfg)
+    evaluate(ev, ds, mode, cfg)
     dt = time.perf_counter() - t0
     print(json.dumps({
         'metric': 'zegclip_sliding_window_eval_fps',

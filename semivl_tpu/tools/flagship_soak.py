@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Flagship soak: the FULL production configuration, end to end, on-chip.
+
+Round-4 VERDICT #6: the complete round-4/5 stack — real host pipeline
+(JPEG decode + host weak aug + uint8 transport + on-device strong aug),
+fused Pallas decoder fwd+bwd, packed flash attention, MaskCLIP guidance,
+device-histogram sliding-window eval, orbax best/latest checkpoints —
+had only ever run together for bench windows. This drives
+``semivl_tpu.train.loop.train`` (the real trainer, reference
+semivl.py:193-433 equivalent) at flagship scale (CLIP ViT-B/16 + VLG,
+VOC-21, 512² crops, bs2, bfloat16) for ≥300 steps with an eval every
+epoch, on a synthetic JPEG dataset, and reports sustained imgs/sec and
+eval FPS from the run's own timing.
+
+Run on the real chip:  python -m semivl_tpu.tools.flagship_soak
+"""
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--epochs', type=int, default=3)
+    parser.add_argument('--n-unlabeled', type=int, default=202,
+                        help='unlabeled pool; steps = epochs * n/bs '
+                             '(default 202 -> 101 steps/epoch so the '
+                             'i==100 logging window averages a full '
+                             'hundred steps)')
+    parser.add_argument('--n-val', type=int, default=12)
+    parser.add_argument('--batch-size', type=int, default=2)
+    parser.add_argument('--root', default=None,
+                        help='work dir (default: fresh temp dir)')
+    args = parser.parse_args()
+
+    from semivl_tpu.ops.attention import set_default_impl
+    set_default_impl('auto')
+
+    import jax
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), '.jax_cache')
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
+    from __graft_entry__ import _flagship_cfg
+    from semivl_tpu.tools.host_pipeline_bench import make_jpeg_dataset
+
+    root = args.root or tempfile.mkdtemp(prefix='soak_')
+    paths = make_jpeg_dataset(root, n_labeled=16,
+                              n_unlabeled=args.n_unlabeled,
+                              n_val=args.n_val)
+
+    cfg = _flagship_cfg(crop_size=512)
+    cfg.update(
+        batch_size=args.batch_size, data_root=root,
+        labeled_id_path=paths['labeled'],
+        unlabeled_id_path=paths['unlabeled'], val_id_path=paths['val'],
+        strong_aug_on_device=True, dtype='bfloat16',
+        img_scale=None, scale_ratio_range=(0.5, 2.0),
+        epochs=args.epochs, eval_every_n_epochs=1)
+    cfg.pop('iters', None)
+
+    # run dirs are cwd-relative (exp/exp-40/...) — keep them in the soak
+    # work dir, not the repo
+    os.chdir(root)
+
+    from semivl_tpu.train.loop import train
+    steps = args.epochs * args.n_unlabeled // args.batch_size
+    t0 = time.perf_counter()
+    best, save_path = train(cfg, args_dict={'tool': 'flagship_soak'})
+    wall = time.perf_counter() - t0
+
+    # sustained rates from the run's own metrics stream (the i==100
+    # windows exclude the first-step compile; eval/fps is wall-clock over
+    # the full val set incl. the device-histogram flush)
+    imgs_per_sec, eval_fps = [], []
+    with open(os.path.join(root, save_path, 'metrics.jsonl')) as f:
+        for line in f:
+            rec = json.loads(line)  # {'t':..,'step':..,'<key>': value}
+            if 'train/imgs_per_sec_per_chip' in rec:
+                imgs_per_sec.append(rec['train/imgs_per_sec_per_chip'])
+            if 'eval/fps' in rec:
+                eval_fps.append(rec['eval/fps'])
+    print(json.dumps({
+        'metric': 'flagship_soak',
+        'steps': steps, 'epochs': args.epochs, 'evals': len(eval_fps),
+        'best_miou': round(float(best), 3),
+        'wall_sec': round(wall, 1),
+        'sustained_imgs_per_sec_per_chip': [
+            round(v, 2) for v in imgs_per_sec],
+        'eval_fps': [round(v, 2) for v in eval_fps],
+        'run_dir': os.path.join(root, save_path)}))
+
+
+if __name__ == '__main__':
+    main()

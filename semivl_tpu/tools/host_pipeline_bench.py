@@ -22,7 +22,8 @@ import tempfile
 import time
 
 
-def make_jpeg_dataset(root, n_labeled, n_unlabeled, num_classes=21, seed=0):
+def make_jpeg_dataset(root, n_labeled, n_unlabeled, num_classes=21, seed=0,
+                      n_val=0):
     """Synthetic photos at realistic VOC sizes, saved as real JPEGs."""
     import numpy as np
     from PIL import Image
@@ -49,12 +50,14 @@ def make_jpeg_dataset(root, n_labeled, n_unlabeled, num_classes=21, seed=0):
 
     splits = os.path.join(root, 'splits')
     os.makedirs(splits, exist_ok=True)
-    for kind, n in (('labeled', n_labeled), ('unlabeled', n_unlabeled)):
+    kinds = [('labeled', n_labeled), ('unlabeled', n_unlabeled)]
+    if n_val:
+        kinds.append(('val', n_val))
+    for kind, n in kinds:
         lines = [write(f'{kind[0]}{i}', i) for i in range(n)]
         with open(os.path.join(splits, kind + '.txt'), 'w') as f:
             f.write('\n'.join(lines) + '\n')
-    return {k: os.path.join(splits, k + '.txt')
-            for k in ('labeled', 'unlabeled')}
+    return {k: os.path.join(splits, k + '.txt') for k, _ in kinds}
 
 
 def main():

@@ -106,7 +106,7 @@ def report(events, n_iters, top=20):
     return tot_t / 1e3 / n_iters
 
 
-def _build_flagship(crop, bs, dtype):
+def _build_flagship(crop, bs, dtype, dataset='pascal'):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +114,7 @@ def _build_flagship(crop, bs, dtype):
     from semivl_tpu.models.builder import build_model
     from semivl_tpu.utils.init_utils import jit_init
 
-    cfg = _flagship_cfg(crop_size=crop)
+    cfg = _flagship_cfg(crop_size=crop, dataset=dataset)
     cfg['batch_size'] = bs
     bundle = build_model(cfg, dtype=dtype)
     variables = jit_init(
@@ -136,7 +136,8 @@ def trace_step(args, trace_dir):
                                        replicate, shard_batch)
 
     crop, bs = args.crop, args.batch_size
-    cfg, bundle, variables = _build_flagship(crop, bs, jnp.dtype(args.dtype))
+    cfg, bundle, variables = _build_flagship(crop, bs, jnp.dtype(args.dtype),
+                                             dataset=args.dataset)
     mesh = Mesh(np.array(jax.devices()), ('data',))
     b = bs * len(jax.devices())
     tx, _, mask = build_optimizer(
@@ -158,7 +159,7 @@ def trace_step(args, trace_dir):
     ign = np.zeros((b, crop, crop), np.int32)
     batch = shard_batch(dict(
         img_x=imgs(),
-        mask_x=rs.randint(0, 21, (b, crop, crop)).astype(np.int32),
+        mask_x=rs.randint(0, cfg['nclass'], (b, crop, crop)).astype(np.int32),
         img_w=imgs(), img_s1=imgs(), img_s2=imgs(), ignore_mask=ign,
         cutmix_box1=boxes, cutmix_box2=boxes, img_w_other=imgs(),
         img_s1_other=imgs(), img_s2_other=imgs(),
@@ -190,24 +191,40 @@ def trace_eval(args, trace_dir):
 
     crop = args.crop
     cfg, bundle, variables = _build_flagship(crop, args.batch_size,
-                                             jnp.dtype(args.dtype))
+                                             jnp.dtype(args.dtype),
+                                             dataset=args.dataset)
     cfg = dict(cfg)
     cfg['eval_transfer_dtype'] = 'bfloat16'
     mesh = Mesh(np.array(jax.devices()), ('data',))
     ev = Evaluator(bundle.module_fwd, variables, bundle.text_feats, cfg,
                    mesh=mesh)
     rs = np.random.RandomState(0)
-    img = rs.randint(0, 256, (1, 512, 683, 3)).astype(np.uint8)
-    ev.predict(img, (500, 667), 'zegclip_sliding_window')  # compile+warm
+    # PRODUCTION eval path: predict_hist_into (zero per-image D2H) — the
+    # loop evaluate() runs in steady state, incl. the O(pixels x nclass)
+    # compare-reduce histogram whose cost scales with the vocabulary
+    # (round-4 VERDICT #3: measure at ADE N=150 / COCO N=81).
+    if args.dataset == 'cityscapes':
+        mode, ih, iw, mh, mw = 'sliding_window', 1024, 2048, 1024, 2048
+    else:
+        mode, ih, iw, mh, mw = 'zegclip_sliding_window', 512, 683, 500, 667
+    img = rs.randint(0, 256, (1, ih, iw, 3)).astype(np.uint8)
+    mask = rs.randint(0, cfg['nclass'], (mh, mw)).astype(np.uint8)
+    acc = ev.zero_hist()
+    out = ev.predict_hist_into(acc, img, mask, mode)  # compile+warm
+    assert out is not None, 'device hist path unavailable for this mode'
+    acc = out
     jax.profiler.start_trace(trace_dir)
     for _ in range(args.iters):
-        ev.predict(img, (500, 667), 'zegclip_sliding_window')
+        acc = ev.predict_hist_into(acc, img, mask, mode)
+    np.asarray(acc)  # completion barrier (device->host fetch)
     jax.profiler.stop_trace()
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--target', default='step', choices=['step', 'eval'])
+    parser.add_argument('--dataset', default='pascal',
+                        choices=['pascal', 'coco', 'ade', 'cityscapes'])
     parser.add_argument('--batch-size', type=int, default=2)
     parser.add_argument('--crop', type=int, default=512)
     parser.add_argument('--dtype', default='bfloat16')

@@ -430,6 +430,11 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                             jnp.float32)).mean())
                     for k in pending_metrics[0] if k != 'preempt_count'}
                 stacked['train/iter_time'] = float(np.mean(iter_times))
+                # sustained per-chip throughput in the bench unit (labeled
+                # + unlabeled imgs/iter = 2*bs for semi-supervised methods)
+                ipi = (2 if method in ('semivl', 'unimatch') else 1) * bs
+                stacked['train/imgs_per_sec_per_chip'] = (
+                    ipi / max(float(np.mean(iter_times)), 1e-9))
                 pending_metrics.clear()
                 iter_times.clear()
                 log_avg.update(stacked)
@@ -515,9 +520,14 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                     evaluator.predict(dummy, img.shape[:2], eval_mode)
                 multihost_utils.sync_global_devices('semivl:eval_warmed')
                 eval_warmed = True
+            eval_t0 = time.time()
             miou, iou_class = evaluate(evaluator, valset, eval_mode, cfg,
                                        process_index=pidx,
                                        process_count=pcount)
+            eval_dt = time.time() - eval_t0
+            eval_fps = len(valset) / max(eval_dt, 1e-9)
+            logger.info('***** Evaluation timing: %d images in %.1fs '
+                        '(%.2f imgs/sec)', len(valset), eval_dt, eval_fps)
             logger.info(run_name)
             for cls_idx, iou in enumerate(iou_class):
                 logger.info('***** Evaluation ***** >>>> Class [%d %s] '
@@ -526,6 +536,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
             logger.info('***** Evaluation %s ***** >>>> MeanIoU: %.2f\n',
                         eval_mode, miou)
             if writer is not None:
+                writer.add_scalar('eval/fps', eval_fps, epoch)
                 writer.add_scalar('eval/mIoU', miou, epoch)
                 for idx, iou in enumerate(iou_class):
                     writer.add_scalar(
