@@ -106,7 +106,8 @@ def report(events, n_iters, top=20):
     return tot_t / 1e3 / n_iters
 
 
-def _build_flagship(crop, bs, dtype, dataset='pascal'):
+def _build_flagship(crop, bs, dtype, dataset='pascal',
+                    decoder_kernel='auto'):
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +117,12 @@ def _build_flagship(crop, bs, dtype, dataset='pascal'):
 
     cfg = _flagship_cfg(crop_size=crop, dataset=dataset)
     cfg['batch_size'] = bs
+    if decoder_kernel != 'auto':
+        # A/B the fused polyphase decoder vs plain XLA at this geometry
+        # (models/builder.py routing) — e.g. the N-scaled layout copies
+        # around the plane-folded kernels at ADE N=150.
+        cfg['decoder_fwd_kernel'] = decoder_kernel
+        cfg['decoder_train_kernel'] = decoder_kernel
     bundle = build_model(cfg, dtype=dtype)
     variables = jit_init(
         bundle.module, {'params': jax.random.PRNGKey(0),
@@ -136,8 +143,9 @@ def trace_step(args, trace_dir):
                                        replicate, shard_batch)
 
     crop, bs = args.crop, args.batch_size
-    cfg, bundle, variables = _build_flagship(crop, bs, jnp.dtype(args.dtype),
-                                             dataset=args.dataset)
+    cfg, bundle, variables = _build_flagship(
+        crop, bs, jnp.dtype(args.dtype), dataset=args.dataset,
+        decoder_kernel=args.decoder_kernel)
     mesh = Mesh(np.array(jax.devices()), ('data',))
     b = bs * len(jax.devices())
     tx, _, mask = build_optimizer(
@@ -190,9 +198,9 @@ def trace_eval(args, trace_dir):
     from semivl_tpu.evaluation.predict import Evaluator
 
     crop = args.crop
-    cfg, bundle, variables = _build_flagship(crop, args.batch_size,
-                                             jnp.dtype(args.dtype),
-                                             dataset=args.dataset)
+    cfg, bundle, variables = _build_flagship(
+        crop, args.batch_size, jnp.dtype(args.dtype),
+        dataset=args.dataset, decoder_kernel=args.decoder_kernel)
     cfg = dict(cfg)
     cfg['eval_transfer_dtype'] = 'bfloat16'
     mesh = Mesh(np.array(jax.devices()), ('data',))
@@ -232,6 +240,11 @@ def main():
     parser.add_argument('--warmup', type=int, default=3)
     parser.add_argument('--trace-dir', default=None)
     parser.add_argument('--top', type=int, default=20)
+    parser.add_argument('--decoder-kernel', default='auto',
+                        choices=['auto', 'xla', 'fused'],
+                        help='override the Up/head decoder routing '
+                             '(models/builder.py) for fused-vs-XLA '
+                             'device-time A/Bs')
     args = parser.parse_args()
 
     import jax

@@ -144,17 +144,50 @@ def init_state(bundle, cfg, total_iters, seed=0, pretrained=None):
     return state, tx, sched, mask
 
 
+_DEBUG_FWD_CACHE = {}
+
+
+def _debug_fwds(bundle, cfg):
+    """Jitted single-image forwards for the debug grid, cached per module.
+
+    The grid needs 4-5 model forwards per epoch. Running them eagerly
+    with host-fetched params (the obvious translation of reference
+    semivl.py:371-406) costs a full-param D2H fetch plus a per-op
+    dispatch storm — measured ~250 s/epoch through the remote-TPU relay,
+    20x the 100 training steps it decorates (round-5 soak finding). One
+    jitted apply with device-resident params makes it milliseconds.
+    """
+    key = id(bundle.module)
+    if key not in _DEBUG_FWD_CACHE:
+        text = jnp.asarray(bundle.text_feats)
+
+        @jax.jit
+        def fwd(params, img):
+            return bundle.module.apply(params, img, text)
+
+        mclip = None
+        if bundle.mcc_text_feats is not None:
+            mcc = jnp.asarray(bundle.mcc_text_feats)
+            thresh = float(cfg.get('mcc_conf_thresh', 0.75))
+
+            @jax.jit
+            def mclip(params, img):
+                return bundle.module.apply(params, img, mcc, thresh,
+                                           method='forward_maskclip')
+
+        _DEBUG_FWD_CACHE[key] = (fwd, mclip)
+    return _DEBUG_FWD_CACHE[key]
+
+
 def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
                                logger):
     """Reference-style debug panel grid (semivl.py:371-406) for sample 0."""
     from semivl_tpu.utils.plotting import save_debug_grid
     palette = get_palette(cfg['dataset'])
-    params_host = jax.device_get(state.params)
-    text = jnp.asarray(bundle.text_feats)
+    fwd_jit, mclip_jit = _debug_fwds(bundle, cfg)
 
     def fwd(img_np):
-        return np.asarray(bundle.module.apply(
-            params_host, jnp.asarray(img_np), text))
+        return np.asarray(fwd_jit(state.params, jnp.asarray(img_np)))
 
     if 'img' in bl:
         img_x = np.asarray(bl['img'][:1])
@@ -188,11 +221,9 @@ def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
 
     grid = padded(panels) + padded(preds_row) + padded(gt_row)
 
-    if bundle.mcc_text_feats is not None and 'img_w' in bu:
-        mclip = np.asarray(bundle.module.apply(
-            params_host, jnp.asarray(bu['img_w'][:1]),
-            jnp.asarray(bundle.mcc_text_feats),
-            cfg.get('mcc_conf_thresh', 0.75), method='forward_maskclip'))
+    if mclip_jit is not None and 'img_w' in bu:
+        mclip = np.asarray(mclip_jit(state.params,
+                                     jnp.asarray(bu['img_w'][:1])))
         grid += padded([('MC W', mclip[0], 'label', palette)])
         rows += 1
     save_debug_grid(os.path.join(save_path, 'debug', f'{iters:07d}.png'),
@@ -388,6 +419,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
         epoch_start_step = int(state.step)  # one device fetch per epoch
         pending_metrics, iter_times = [], []
+        window_t0 = time.time()
         for i, (host_batch, device_batch) in enumerate(batches):
             t0 = time.time()
             # jax.profiler trace window (SURVEY.md §5: reference has none)
@@ -430,11 +462,20 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                             jnp.float32)).mean())
                     for k in pending_metrics[0] if k != 'preempt_count'}
                 stacked['train/iter_time'] = float(np.mean(iter_times))
-                # sustained per-chip throughput in the bench unit (labeled
-                # + unlabeled imgs/iter = 2*bs for semi-supervised methods)
+                # Sustained per-chip throughput in the bench unit (labeled
+                # + unlabeled imgs/iter = 2*bs for semi-supervised
+                # methods). Wall-clock over the window, AFTER the stacked
+                # metric fetch above — that fetch barriers on the window's
+                # last step, so this includes loader + dispatch + device
+                # execution. iter_time alone is enqueue-only on
+                # remote-attached devices (async dispatch returns before
+                # execution) and overstated throughput 140x in the
+                # round-5 soak.
                 ipi = (2 if method in ('semivl', 'unimatch') else 1) * bs
                 stacked['train/imgs_per_sec_per_chip'] = (
-                    ipi / max(float(np.mean(iter_times)), 1e-9))
+                    ipi * len(iter_times)
+                    / max(time.time() - window_t0, 1e-9))
+                window_t0 = time.time()
                 pending_metrics.clear()
                 iter_times.clear()
                 log_avg.update(stacked)

@@ -41,6 +41,10 @@ def test_full_semivl_loop(loop_cfg, tmp_path, monkeypatch):
     assert 0.0 <= best <= 100.0
     assert os.path.isfile(os.path.join(save_path, 'all_args.yaml'))
     assert os.path.isfile(os.path.join(save_path, 'metrics.jsonl'))
+    # the per-epoch debug grid (loop catches exceptions and only warns —
+    # assert it actually rendered through the jitted device-param path)
+    import glob
+    assert glob.glob(os.path.join(save_path, 'debug', '*.png'))
     assert os.path.isdir(os.path.join(save_path, 'ckpt', 'latest'))
     assert os.path.isdir(os.path.join(save_path, 'ckpt', 'best'))
     with open(os.path.join(save_path, 'all_args.yaml')) as f:
