@@ -67,11 +67,11 @@ class Evaluator:
 
     def __init__(self, module, params, text_feats, cfg, mesh=None):
         self.module = module
-        self.params = params
+        self.mesh = mesh
+        self.update_params(params)
         self.text = jnp.asarray(text_feats)
         self.cfg = cfg
         self.nclass = cfg['nclass']
-        self.mesh = mesh
         self.world = int(mesh.devices.size) if mesh is not None else 1
         # device->host logit transfer dtype; 'bfloat16' halves PCIe (or, on
         # this dev harness, tunnel-relay) traffic at ~3-decimal-digit cost
@@ -91,6 +91,24 @@ class Evaluator:
         self._const_cache = {}
 
     def update_params(self, params):
+        """Swap in new params, pinned to this evaluator's device(s).
+
+        Host-resident params would be re-uploaded by EVERY jitted predict
+        call — measured in the round-5 flagship soak: the production eval
+        ran at 0.10 imgs/sec (vs 26 with device-resident params) because
+        the train loop handed ``jax.device_get(state.params)`` straight to
+        the evaluator and each call re-shipped the full param tree through
+        the remote-TPU relay. One replicated device_put here makes every
+        subsequent call reuse the device buffers (a no-op when the caller
+        already passes device-resident params with the same sharding).
+        """
+        if params is not None:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                params = jax.device_put(
+                    params, NamedSharding(self.mesh, PartitionSpec()))
+            else:
+                params = jax.device_put(params)
         self.params = params
 
     def use_device(self, img, mode):

@@ -163,7 +163,11 @@ def _debug_fwds(bundle, cfg):
 
         @jax.jit
         def fwd(params, img):
-            return bundle.module.apply(params, img, text)
+            # argmax ON DEVICE: the grid only renders label maps, and a
+            # (1, C, H, W) f32 logit fetch is ~22 MB/panel through the
+            # relay vs 0.26 MB for the uint8 map
+            logits = bundle.module.apply(params, img, text)
+            return jnp.argmax(logits, axis=1).astype(jnp.uint8)
 
         mclip = None
         if bundle.mcc_text_feats is not None:
@@ -195,9 +199,9 @@ def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
         from semivl_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         img_x = ((np.asarray(bl['img_u8'][:1], np.float32) / 255.0
                   - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
-    pred_x = fwd(img_x)
+    pred_x = fwd(img_x)  # (1, H, W) device-argmaxed label map
     panels = [('Image L', img_x[0], 'image', None)]
-    preds_row = [('Pred L', pred_x[0], 'prediction', palette)]
+    preds_row = [('Pred L', pred_x[0], 'label', palette)]
     gt_row = [('GT L', np.asarray(bl['mask'][0]), 'label', palette)]
 
     if 'img_w' in bu and 'img_s1' in bu:
@@ -205,14 +209,13 @@ def _save_debug_grid_for_batch(cfg, bundle, state, bl, bu, save_path, iters,
         img_s1 = np.asarray(bu['img_s1'][:1])
         img_s2 = np.asarray(bu['img_s2'][:1])
         pred_w = fwd(img_w)
-        mask_w = pred_w.argmax(axis=1)
         panels += [('Image S1', img_s1[0], 'image', None),
                    ('Image S2', img_s2[0], 'image', None),
                    ('Image W', img_w[0], 'image', None)]
-        preds_row += [('Pred S1', fwd(img_s1)[0], 'prediction', palette),
-                      ('Pred S2', fwd(img_s2)[0], 'prediction', palette),
-                      ('Pred W', pred_w[0], 'prediction', palette)]
-        gt_row += [('PL W', mask_w[0], 'label', palette), None, None]
+        preds_row += [('Pred S1', fwd(img_s1)[0], 'label', palette),
+                      ('Pred S2', fwd(img_s2)[0], 'label', palette),
+                      ('Pred W', pred_w[0], 'label', palette)]
+        gt_row += [('PL W', pred_w[0], 'label', palette), None, None]
     rows = 3
     cols = max(len(panels), len(preds_row), len(gt_row))
 
@@ -351,10 +354,13 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                      if len(local) > 1 else None)
     evaluator = Evaluator(bundle.module_fwd, None, bundle.text_feats, cfg,
                           mesh=eval_mesh)
-    # Per-step RNG = fold_in(base, global_step): stateless, so mid-epoch
-    # resume reproduces the exact key stream of an uninterrupted run (a
-    # split chain could not be fast-forwarded).
-    base_rng = jax.random.PRNGKey(seed + 1234)
+    # Per-step RNG = fold_in(base, global_step), derived inside the jitted
+    # step from state.step: stateless, so mid-epoch resume reproduces the
+    # exact key stream of an uninterrupted run (a split chain could not be
+    # fast-forwarded). The base key is uploaded once — per-step host-side
+    # folding + device_put cost an unoverlapped H2D round trip per step on
+    # remote-attached devices (round-5 soak finding).
+    base_rng_dev = replicate(jax.random.PRNGKey(seed + 1234), mesh)
 
     # Preemption safety (the reference loses the run on any interruption —
     # SURVEY.md §5): SIGTERM/SIGINT request a 'latest' checkpoint at the
@@ -432,7 +438,6 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 jax.profiler.stop_trace()
             if method in ('semivl', 'unimatch'):
                 bl, bu = host_batch
-            step_rng = jax.random.fold_in(base_rng, cur_step)
             if pcount > 1 and not step_warmed:
                 # Compile-then-barrier: hosts whose first-step compile is
                 # slower than the collective transport's connect window
@@ -441,12 +446,12 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
                 # (populates the persistent cache), then rendezvous, so
                 # every host dispatches step 1 near-simultaneously.
                 from jax.experimental import multihost_utils
-                step_fn.lower(state, device_batch,
-                              replicate(step_rng, mesh)).compile()
+                step_fn.lower(state, device_batch, base_rng_dev).compile()
                 multihost_utils.sync_global_devices('semivl:step_compiled')
                 step_warmed = True
-            state, metrics = step_fn(state, device_batch,
-                                     replicate(step_rng, mesh))
+            # per-step key = fold_in(base, state.step) INSIDE the jitted
+            # step (train/step.py) — no per-step host fold/upload
+            state, metrics = step_fn(state, device_batch, base_rng_dev)
             # Track the global step on host and defer metric fetches to the
             # logging window: per-step scalar device->host reads would
             # serialise the prefetch pipeline (and cost one link round-trip
@@ -539,7 +544,13 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
 
         if (epoch % cfg.get('eval_every_n_epochs', 1) == 0
                 or epoch == cfg['epochs'] - 1 or done):
-            evaluator.update_params(jax.device_get(state.params))
+            # Single-process: hand over the device-resident params (the
+            # eval mesh IS the train mesh — zero transfer). Multi-process:
+            # the local eval mesh differs from the global train mesh, so
+            # fetch once and let update_params re-pin to the local devices
+            # (one upload per eval, not one per predict call).
+            evaluator.update_params(state.params if pcount == 1
+                                    else jax.device_get(state.params))
             eval_mode = cfg['eval_mode']
             if pcount > 1 and not eval_warmed:
                 # Warm every distinct local val-image shape's eval programs

@@ -219,6 +219,15 @@ def make_semivl_train_step(bundle, cfg, tx, mesh: Mesh, total_iters: int,
     on_device_aug = cfg.get('strong_aug_on_device', False)
 
     def step_fn(state, batch, rng):
+        # Per-step key derived ON DEVICE from the global step counter:
+        # callers upload ONE base key and every step folds in state.step
+        # (== global step at entry) — the same stream the loop previously
+        # produced with a host-side fold_in + per-step device_put of the
+        # folded key, which cost an unoverlapped ~30 ms H2D round trip
+        # per step on remote-attached devices (round-5 soak finding).
+        # Mid-epoch resume stays bit-exact: the stream depends only on
+        # (base seed, global step).
+        rng = jax.random.fold_in(rng, state.step)
         rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
         batch = _unpack_compact(batch)
         # Multi-host preemption consensus: each host feeds its local SIGTERM
@@ -396,6 +405,8 @@ def make_supervised_train_step(bundle, cfg, tx, mesh: Mesh, trainable_mask):
         preempt_count = (jax.lax.psum(jnp.sum(batch.pop('preempt')), 'data')
                          if 'preempt' in batch else None)
         if 'img_u8' in batch:  # uint8 transport (strong_aug_on_device)
+            # same device-side per-step derivation as the semivl step
+            rng = jax.random.fold_in(rng, state.step)
             rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
             from semivl_tpu.ops.augment import normalize_imagenet
             x = batch.pop('img_u8').astype(jnp.float32) / 255.0
