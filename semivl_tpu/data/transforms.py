@@ -50,10 +50,17 @@ def mmseg_resize_val(img, img_scale, min_size):
     shorter side becomes max(min(img_scale), min_size), keep ratio."""
     new_short = max(min(img_scale), min_size)
     w, h = img.size
+    # mmseg keeps the derived long-edge target as a FLOAT (Resize._resize_img
+    # computes new_short * h / w without rounding) and only rounds once, in
+    # mmcv's _scale_size (int(x * factor + 0.5)). Truncating the long edge
+    # to int here made it the binding constraint and yielded a 511-px short
+    # side for e.g. 333x500 inputs (mmseg: 512x769) — one pixel off parity,
+    # and below crop_size, which silently rerouted those val images to the
+    # slow host predict path.
     if h > w:
-        scale = (int(new_short * h / w), new_short)
+        scale = (new_short * h / w, new_short)
     else:
-        scale = (new_short, int(new_short * w / h))
+        scale = (new_short, new_short * w / h)
     nw, nh = _rescale_size(w, h, scale)
     return img.resize((nw, nh), Image.BILINEAR)
 

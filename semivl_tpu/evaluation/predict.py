@@ -95,12 +95,13 @@ class Evaluator:
 
         Host-resident params would be re-uploaded by EVERY jitted predict
         call — measured in the round-5 flagship soak: the production eval
-        ran at 0.10 imgs/sec (vs 26 with device-resident params) because
-        the train loop handed ``jax.device_get(state.params)`` straight to
-        the evaluator and each call re-shipped the full param tree through
-        the remote-TPU relay. One replicated device_put here makes every
-        subsequent call reuse the device buffers (a no-op when the caller
-        already passes device-resident params with the same sharding).
+        ran at 0.10 imgs/sec because the train loop handed
+        ``jax.device_get(state.params)`` straight to the evaluator and each
+        call re-shipped the full param tree through the remote-TPU relay
+        (pinning alone recovered ~13x on the soak's host-path geometry).
+        One replicated device_put here makes every subsequent call reuse
+        the device buffers (a no-op when the caller already passes
+        device-resident params with the same sharding).
         """
         if params is not None:
             if self.mesh is not None:
@@ -857,6 +858,7 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
     try:
         fut = executor.submit(load, idxs[0]) if executor else None
         pending = None  # (deferred, mask, idx): host path, fetched 1 late
+        n_host_path = 0
         for j, i in enumerate(idxs):
             img, mask, img_dev, mask_dev = (fut.result() if executor
                                             else load(i))
@@ -876,6 +878,7 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
                 if progress is not None:
                     progress(i)
             else:
+                n_host_path += 1
                 deferred = evaluator.predict(img, mask.shape, mode,
                                              defer=True, img_dev=img_dev)
                 if pending is not None:
@@ -885,6 +888,21 @@ def evaluate(evaluator, dataset, mode, cfg, indices=None, progress=None,
         if pending is not None:
             _flush_pending(pending, inter_sum, union_sum, cfg, progress)
         flush_acc()
+        if n_host_path:
+            # The small-image/host fallback is reference-exact but orders of
+            # magnitude slower than the device-canvas path (eager per-window
+            # forwards + per-window logit fetches). A val pipeline whose
+            # resize keeps min(H, W) >= crop_size never hits it — so a
+            # non-zero count on a standard val set almost always means a
+            # misconfigured img_scale (this exact silence cost a round-5
+            # soak two debugging sessions).
+            import logging
+            logging.getLogger('global').warning(
+                'evaluate: %d/%d images routed to the slow host predict '
+                'path (image min side < crop_size=%s, or a mode/geometry '
+                'without device support) — check img_scale/val resize if '
+                'this is unexpected', n_host_path, len(idxs),
+                cfg.get('crop_size'))
     finally:
         if executor is not None:
             executor.shutdown(wait=False)

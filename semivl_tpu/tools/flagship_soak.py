@@ -54,13 +54,18 @@ def main():
                               n_unlabeled=args.n_unlabeled,
                               n_val=args.n_val)
 
+    # Keep the flagship cfg's own img_scale=[2048,512]: it drives BOTH the
+    # train-side mmseg resize AND the val min-512 resize. The first soak
+    # overrode it to None, which silently dropped the val resize — every
+    # 375-500 px val image then routed to the reference-exact small-image
+    # HOST path (eager per-window forwards, ~1.3 s/img through the relay)
+    # instead of the device-canvas path (~26 imgs/sec band).
     cfg = _flagship_cfg(crop_size=512)
     cfg.update(
         batch_size=args.batch_size, data_root=root,
         labeled_id_path=paths['labeled'],
         unlabeled_id_path=paths['unlabeled'], val_id_path=paths['val'],
         strong_aug_on_device=True, dtype='bfloat16',
-        img_scale=None, scale_ratio_range=(0.5, 2.0),
         epochs=args.epochs, eval_every_n_epochs=1)
     cfg.pop('iters', None)
 

@@ -50,6 +50,33 @@ def test_mmseg_resize_val_min_size():
     assert abs(out.size[1] / out.size[0] - 400 / 300) < 0.01
 
 
+def test_mmseg_resize_val_short_side_never_below_min():
+    """Regression: mmseg keeps the derived long-edge target float and
+    rounds ONCE (int(x*factor+0.5)); truncating it to int first made
+    333x500 come out 511x768 (mmseg: 512x769) — below crop_size, which
+    rerouted those val images to the slow host predict path (round 5)."""
+    # (w, h) -> expected mmseg output (w, h)
+    cases = {
+        (500, 333): (769, 512),
+        (500, 375): (683, 512),
+        (375, 500): (512, 683),
+        (500, 500): (512, 512),
+        (500, 366): (699, 512),
+    }
+    for (w, h), want in cases.items():
+        out = T.mmseg_resize_val(Image.new('RGB', (w, h)),
+                                 (2048, 512), min_size=512)
+        assert out.size == want, ((w, h), out.size, want)
+    # invariant sweep: the min_size path replaces img_scale with targets
+    # derived from the image aspect, so the short side lands exactly on
+    # min_size for every aspect ratio
+    for w in range(200, 900, 37):
+        for h in (200, 333, 401, 512, 700):
+            out = T.mmseg_resize_val(Image.new('RGB', (w, h)),
+                                     (2048, 512), min_size=512)
+            assert min(out.size) >= 512, ((w, h), out.size)
+
+
 def test_pad_and_crop_ignore_fill(rng):
     img = Image.new('RGB', (30, 40), (10, 10, 10))
     mask = Image.fromarray(np.zeros((40, 30), np.uint8))
