@@ -34,6 +34,10 @@ def main():
     parser.add_argument('--batch-size', type=int, default=2)
     parser.add_argument('--root', default=None,
                         help='work dir (default: fresh temp dir)')
+    parser.add_argument('--no-debug-images', action='store_true',
+                        help='skip the per-epoch debug grid (isolates its '
+                             'eager-forward cost from the sustained-rate '
+                             'windows)')
     args = parser.parse_args()
 
     from semivl_tpu.ops.attention import set_default_impl
@@ -67,6 +71,8 @@ def main():
         unlabeled_id_path=paths['unlabeled'], val_id_path=paths['val'],
         strong_aug_on_device=True, dtype='bfloat16',
         epochs=args.epochs, eval_every_n_epochs=1)
+    if args.no_debug_images:
+        cfg['debug_images'] = False
     cfg.pop('iters', None)
 
     # run dirs are cwd-relative (exp/exp-40/...) — keep them in the soak

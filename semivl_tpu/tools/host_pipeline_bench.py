@@ -69,6 +69,11 @@ def main():
     parser.add_argument('--threads', type=int, default=4)
     parser.add_argument('--n-unlabeled', type=int, default=96)
     parser.add_argument('--loader-only', action='store_true')
+    parser.add_argument('--mmseg-resize', action='store_true',
+                        help='keep the flagship cfg img_scale=[2048,512] '
+                             'mmseg resize (the exp-40 semantics; up to '
+                             '~2.7x the host resize pixels of the '
+                             'UniMatch-style long-side default here)')
     args = parser.parse_args()
 
     from semivl_tpu.ops.attention import set_default_impl
@@ -103,8 +108,9 @@ def main():
     cfg.update(batch_size=args.batch_size, data_root=root,
                labeled_id_path=paths['labeled'],
                unlabeled_id_path=paths['unlabeled'],
-               strong_aug_on_device=True, dtype='bfloat16',
-               img_scale=None, scale_ratio_range=(0.5, 2.0))
+               strong_aug_on_device=True, dtype='bfloat16')
+    if not args.mmseg_resize:
+        cfg.update(img_scale=None, scale_ratio_range=(0.5, 2.0))
 
     devices = jax.devices()
     mesh = Mesh(np.array(devices), ('data',))

@@ -379,6 +379,7 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
             pass  # not the main thread
 
     log_avg = DictAverageMeter()
+    metric_keys = None  # stable order for the windowed metric matrix
     done = False
     step_warmed = False  # multi-host: compile-then-barrier before step 1
     eval_warmed = False  # multi-host: eval compile warmup + barrier
@@ -457,15 +458,34 @@ def train(cfg, args_dict=None, max_iters_override=None, pretrained=None,
             # serialise the prefetch pipeline (and cost one link round-trip
             # per scalar on remote-attached devices).
             iters = epoch_start_step + i
-            pending_metrics.append(metrics)
+            if metric_keys is None:
+                metric_keys = sorted(k for k in metrics
+                                     if k != 'preempt_count')
+            # One tiny enqueue-only stack per step (overlapped with device
+            # compute): the window-end fetch then marshals ~100 vector
+            # handles instead of ~800 scalar handles through the device
+            # link — on the remote relay, per-handle marshal cost made the
+            # 800-handle fetch a measurable slice of the window.
+            pending_metrics.append(jnp.stack(
+                [metrics[k] for k in metric_keys]).astype(jnp.float32))
             iter_times.append(time.time() - t0)
 
             if i % 100 == 0:
-                stacked = {
-                    f'train/{k}': float(np.asarray(jnp.stack(
-                        [m[k] for m in pending_metrics]).astype(
-                            jnp.float32)).mean())
-                    for k in pending_metrics[0] if k != 'preempt_count'}
+                # drain first with a single-scalar fetch (waits for the
+                # window's last step to EXECUTE — async dispatch returns
+                # long before), then fetch the whole (W, K) matrix in one
+                # transfer; the split attributes window time to device-lag
+                # vs fetch-marshal in every run's log
+                fetch_t0 = time.time()
+                float(jnp.ravel(pending_metrics[-1])[0])
+                drain_s = time.time() - fetch_t0
+                mat = np.asarray(jnp.stack(pending_metrics))
+                means = mat.mean(axis=0)
+                stacked = {f'train/{k}': float(means[j])
+                           for j, k in enumerate(metric_keys)}
+                stacked['train/window_drain_time'] = drain_s
+                stacked['train/metric_fetch_time'] = (
+                    time.time() - fetch_t0 - drain_s)
                 stacked['train/iter_time'] = float(np.mean(iter_times))
                 # Sustained per-chip throughput in the bench unit (labeled
                 # + unlabeled imgs/iter = 2*bs for semi-supervised
