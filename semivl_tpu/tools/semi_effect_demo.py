@@ -170,21 +170,22 @@ def _pretrain_step(params, opt, im, ms, loss_fn, tx):
     return optax.apply_updates(params, updates), opt, lv
 
 
-def _base_cfg(root, paths, method, epochs, guidance=None):
+def _base_cfg(root, paths, method, epochs, guidance=None, lr=3e-3,
+              mcc_lambda=(0.1, 0.0), mcc_conf_thresh=0.75):
     from semivl_tpu.configs import config_from_vars
-    mcc = [0.1, 0] if guidance else 0
+    mcc = list(mcc_lambda) if guidance else 0
     cfg = config_from_vars(
         exp_id=95, model='mmseg.tiny-vlm-test', crop_size=64, batch_size=1,
         epochs=epochs, img_scale=None, method=method,
         criterion='CELoss', criterion_u='CELoss', conf_thresh=0.95,
-        maskclip_consistency_lambda=mcc, lr=3e-3,
+        maskclip_consistency_lambda=mcc, lr=lr,
         eval_mode='zegclip_sliding_window')
     if guidance:
         text_path, enc_path = guidance
         cfg['clip_encoder'] = 'tiny-mcvit-test'
         cfg['mcc_fix_resize_pos'] = True   # build guidance at crop size
         cfg['mcc_text'] = text_path
-        cfg['mcc_conf_thresh'] = 0.75
+        cfg['mcc_conf_thresh'] = mcc_conf_thresh
         cfg['init_param_overrides'] = enc_path
     else:
         cfg['clip_encoder'] = None
@@ -196,6 +197,40 @@ def _base_cfg(root, paths, method, epochs, guidance=None):
     cfg['unlabeled_id_path'] = paths['unlabeled']
     cfg['val_id_path'] = paths['val']
     return cfg
+
+
+def _eval_records(save_path):
+    """Parse the run's metrics.jsonl -> {epoch: {metric: value}} for the
+    eval/ scalars (one key per JSONL record, MetricWriter format)."""
+    import json
+    recs = {}
+    with open(os.path.join(save_path, 'metrics.jsonl')) as f:
+        for line in f:
+            r = json.loads(line)
+            for k, v in r.items():
+                if isinstance(k, str) and k.startswith('eval/'):
+                    recs.setdefault(int(r['step']), {})[k[5:]] = v
+    return recs
+
+
+def unseen_class_iou(save_path, unseen_classes, dataset='pascal'):
+    """Mean IoU over the never-labeled classes at the best-mIoU epoch.
+
+    This is the sharp end-to-end metric for the SemiVL premise
+    (reference semivl.py:234-240): the labeled set never shows these
+    classes, so supervised training and plain pseudo-label consistency
+    are structurally ~0 on them — any IoU here had to come through the
+    frozen guidance branch, measured on the validation set."""
+    from semivl_tpu.datasets.classes import CLASSES
+    names = CLASSES[dataset]
+    recs = _eval_records(save_path)
+    epochs = [e for e in recs if 'mIoU' in recs[e]]
+    if not epochs:
+        return float('nan')
+    best_ep = max(epochs, key=lambda e: recs[e]['mIoU'])
+    vals = [recs[best_ep].get(f'{names[c]}_IoU') for c in unseen_classes]
+    vals = [v for v in vals if v is not None]
+    return float(np.mean(vals)) if vals else float('nan')
 
 
 def main():
@@ -213,6 +248,12 @@ def main():
     parser.add_argument('--seed', type=int, default=0,
                         help='first seed (runs seed..seed+seeds-1)')
     parser.add_argument('--methods', default='supervised,unimatch,semivl')
+    parser.add_argument('--lr', type=float, default=3e-3)
+    parser.add_argument('--mcc', type=float, nargs=2, default=(0.1, 0.0),
+                        help='maskclip_consistency_lambda schedule '
+                             '(start end); equal values = constant '
+                             'guidance pressure')
+    parser.add_argument('--mcc-conf-thresh', type=float, default=0.75)
     args = parser.parse_args()
     import jax
     if os.environ.get('JAX_PLATFORMS') == 'cpu':
@@ -221,7 +262,11 @@ def main():
 
     os.makedirs(args.out_root, exist_ok=True)
     methods = args.methods.split(',')
+    labeled_classes = (1, 2)
+    unseen_classes = tuple(c for c in range(1, len(CLASS_COLORS))
+                           if c not in labeled_classes)
     all_results = {m: [] for m in methods}
+    unseen_results = {m: [] for m in methods}
     for seed in range(args.seed, args.seed + args.seeds):
         ds_root = os.path.join(args.out_root, f'data_s{seed}')
         paths = make_blob_dataset(ds_root, args.n_labeled,
@@ -240,12 +285,17 @@ def main():
                 run_method = ('semivl' if method in ('semivl', 'unimatch')
                               else 'supervised')
                 cfg = _base_cfg(ds_root, paths, run_method, epochs,
-                                guidance if method == 'semivl' else None)
+                                guidance if method == 'semivl' else None,
+                                lr=args.lr, mcc_lambda=args.mcc,
+                                mcc_conf_thresh=args.mcc_conf_thresh)
                 cfg['eval_every_n_epochs'] = args.eval_every
                 best, save_path = train(cfg, seed=seed)
                 all_results[method].append(best)
+                u = unseen_class_iou(save_path, unseen_classes)
+                unseen_results[method].append(u)
                 print(f'[semi-effect] seed={seed} {method}: '
-                      f'best mIoU {best:.2f} ({save_path})', flush=True)
+                      f'best mIoU {best:.2f}, never-labeled-class IoU '
+                      f'{u:.2f} ({save_path})', flush=True)
         finally:
             os.chdir(cwd)
 
@@ -258,6 +308,11 @@ def main():
         print(f'[semi-effect] {m}: mean {arr.mean():.2f} '
               f'+- {arr.std():.2f}  (per-seed: '
               + ' '.join(f'{v:.2f}' for v in arr) + ')')
+    for m in methods:
+        arr = np.asarray(unseen_results[m])
+        print(f'[semi-effect] {m} never-labeled-class IoU: mean '
+              f'{arr.mean():.2f} +- {arr.std():.2f}  (per-seed: '
+              + ' '.join(f'{v:.2f}' for v in arr) + ')')
     if 'supervised' in stats:
         for m in methods:
             if m == 'supervised':
@@ -268,6 +323,12 @@ def main():
             print(f'[semi-effect] {m} vs supervised: gain '
                   f'{gains.mean():+.2f} +- {gains.std():.2f} '
                   f'({"significant" if sig else "within noise"})')
+            ug = (np.asarray(unseen_results[m])
+                  - np.asarray(unseen_results['supervised']))
+            usig = ug.mean() > ug.std()
+            print(f'[semi-effect] {m} vs supervised on never-labeled '
+                  f'classes: gain {ug.mean():+.2f} +- {ug.std():.2f} '
+                  f'({"significant" if usig else "within noise"})')
 
 
 if __name__ == '__main__':
